@@ -1,0 +1,179 @@
+"""Shared building blocks for all model families.
+
+Re-designed from the reference block zoo (meanflow_audio_codec/models/
+mlp_flow.py:12-117, mlp_mixer.py:14-163, conv_flow.py:14-205) with a uniform
+TPU execution policy:
+
+  * every block takes a ``dtype`` (compute dtype; params stay float32) so the
+    whole stack can run bfloat16 on the MXU under the mixed-precision policy;
+  * LayerNorm statistics and the adaLN modulation math run in float32;
+  * all blocks are ``nn.compact`` and free of data-dependent Python control
+    flow, so they trace once under jit and are JVP-safe (the mean-flow
+    objectives differentiate the full decoder with ``jax.jvp``).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class MLP(nn.Module):
+    """Dense -> GELU(tanh) -> Dense (reference mlp_flow.py:12-31)."""
+
+    hidden: int
+    out: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.hidden, dtype=self.dtype)(x)
+        x = jax.nn.gelu(x, approximate=True)
+        return nn.Dense(self.out, dtype=self.dtype)(x)
+
+
+def _adaln_norm(x: jnp.ndarray) -> jnp.ndarray:
+    """Scale/bias-free LayerNorm with f32 statistics."""
+    return nn.LayerNorm(use_scale=False, use_bias=False, epsilon=1e-6,
+                        dtype=jnp.float32)(x).astype(x.dtype)
+
+
+class ConditionalResidualBlock(nn.Module):
+    """DiT-style adaLN residual block over flat features
+    (reference mlp_flow.py:63-117).
+
+    Input is [latent ++ noise]; the conditioning MLP emits
+    (scale1, shift, scale2); the residual comes from the noise slice only and
+    the block output is scaled by 1/num_blocks for depth-stable residuals.
+    """
+
+    input_dimension: int
+    noise_dimension: int
+    condition_dimension: int
+    num_blocks: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, condition: jnp.ndarray) -> jnp.ndarray:
+        residual = x[:, -self.noise_dimension:]
+        h = _adaln_norm(x)
+        mod = MLP(self.condition_dimension,
+                  2 * self.input_dimension + self.noise_dimension,
+                  dtype=self.dtype)(condition)
+        scale1 = mod[:, :self.input_dimension]
+        shift = mod[:, self.input_dimension:2 * self.input_dimension]
+        scale2 = mod[:, 2 * self.input_dimension:]
+        h = MLP(self.input_dimension, self.noise_dimension,
+                dtype=self.dtype)((1.0 + scale1) * h + shift)
+        return h * (1.0 + scale2) / self.num_blocks + residual
+
+
+class MixerBlock(nn.Module):
+    """MLP-Mixer block: adaLN -> token-mix -> residual -> adaLN ->
+    channel-mix -> residual (reference mlp_mixer.py:14-94).
+
+    The token-mix Dense couples the token axis — under tensor parallelism
+    this is the matmul to shard on the 'model' mesh axis.
+    """
+
+    token_mix_dim: int
+    channel_mix_dim: int
+    num_channels: int
+    num_tokens: int
+    condition_dim: int
+    dtype: Dtype = jnp.float32
+
+    def _modulate(self, x: jnp.ndarray, condition: jnp.ndarray) -> jnp.ndarray:
+        h = _adaln_norm(x)
+        scale_shift = nn.Dense(2 * self.num_channels, dtype=self.dtype)(condition)
+        scale, shift = jnp.split(scale_shift, 2, axis=-1)
+        return (1.0 + scale[:, None, :]) * h + shift[:, None, :]
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, condition: jnp.ndarray) -> jnp.ndarray:
+        # Token mixing across the sequence axis.
+        h = self._modulate(x, condition)
+        h = jnp.swapaxes(h, -1, -2)
+        h = MLP(self.token_mix_dim, self.num_tokens, dtype=self.dtype)(h)
+        x = x + jnp.swapaxes(h, -1, -2)
+        # Channel mixing.
+        h = self._modulate(x, condition)
+        return x + MLP(self.channel_mix_dim, self.num_channels,
+                       dtype=self.dtype)(h)
+
+
+class GlobalResponseNormalization(nn.Module):
+    """ConvNeXt-V2 GRN (reference conv_flow.py:14-45): inter-channel feature
+    competition via the global spatial L2 response, f32-accumulated."""
+
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        spatial_axes = tuple(range(1, x.ndim - 1))
+        gx = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)),
+                              axis=spatial_axes, keepdims=True))
+        nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + self.epsilon)
+        channels = x.shape[-1]
+        gamma = self.param("gamma", nn.initializers.zeros, (channels,))
+        beta = self.param("beta", nn.initializers.zeros, (channels,))
+        return (x * (gamma + nx.astype(x.dtype))
+                + jnp.asarray(beta, dtype=x.dtype))
+
+
+class ConvNeXtBlock(nn.Module):
+    """3x3 depthish conv -> LN -> 1x1 expand -> GELU -> [GRN] -> 1x1 contract,
+    layer-scale and optional stochastic depth (reference conv_flow.py:53-115).
+    """
+
+    dim: int
+    drop_path: float = 0.0
+    layer_scale_init_value: float = 1e-6
+    use_grn: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        residual = x
+        h = nn.Conv(self.dim, kernel_size=(3, 3), padding="SAME",
+                    dtype=self.dtype)(x)
+        h = _adaln_norm(h)
+        h = nn.Conv(2 * self.dim, kernel_size=(1, 1), dtype=self.dtype)(h)
+        h = jax.nn.gelu(h, approximate=True)
+        if self.use_grn:
+            h = GlobalResponseNormalization()(h)
+        h = nn.Conv(self.dim, kernel_size=(1, 1), dtype=self.dtype)(h)
+        if self.layer_scale_init_value > 0:
+            gamma = self.param(
+                "layer_scale_gamma",
+                nn.initializers.constant(self.layer_scale_init_value),
+                (self.dim,),
+            )
+            h = h * jnp.asarray(gamma, dtype=h.dtype)
+        if self.drop_path > 0.0 and train:
+            keep = 1.0 - self.drop_path
+            mask = jax.random.bernoulli(self.make_rng("drop_path"), keep,
+                                        (h.shape[0],))
+            mask = mask.reshape((-1,) + (1,) * (h.ndim - 1))
+            h = h * mask.astype(h.dtype) / keep
+        return h + residual
+
+
+class FiLM(nn.Module):
+    """Feature-wise linear modulation over the channel axis
+    (reference conv_flow.py:185-191, simple_conv_flow.py:16-42)."""
+
+    channels: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, condition: jnp.ndarray) -> jnp.ndarray:
+        params = nn.Dense(2 * self.channels, dtype=self.dtype)(condition)
+        scale, shift = jnp.split(params, 2, axis=-1)
+        expand = (slice(None),) + (None,) * (x.ndim - 2)
+        return (1.0 + scale[expand]) * x + shift[expand]

@@ -1,0 +1,138 @@
+"""ConvNeXt-architecture conditional flow
+(reference: meanflow_audio_codec/models/conv_flow.py:123-271).
+
+Each decoder layer lifts flat features through a bottleneck Dense into a
+[B, S, S, C] grid, FiLM-modulates on the condition, runs a ConvNeXt(-V2 GRN)
+block, and projects back with 1/num_blocks residual scaling. Latent
+conditioning is added into the condition vector.
+
+Fix-by-design vs the reference: carries an integrated conv encoder so
+``encode`` works for the convnet architecture too (the reference factory's
+convnet branch crashed on an unknown ``base_channels`` argument and had no
+encoder at all, factories.py:59-66).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from meanflow_audio_codec_tpu.models.blocks import ConvNeXtBlock, FiLM, _adaln_norm
+from meanflow_audio_codec_tpu.ops.embeddings import dual_time_embedding
+
+
+class ConvStage(nn.Module):
+    """One decoder layer: Dense bottleneck -> spatial grid -> FiLM ->
+    ConvNeXt block -> Dense back (reference conv_flow.py:123-205)."""
+
+    noise_dimension: int
+    condition_dimension: int
+    num_blocks: int
+    use_grn: bool = True
+    bottleneck_dim: int = 128
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, condition: jnp.ndarray) -> jnp.ndarray:
+        spatial = math.isqrt(self.noise_dimension)
+        channels = min(16, self.condition_dimension // 4)
+        residual = x
+        h = nn.Dense(self.bottleneck_dim, dtype=self.dtype)(x)
+        h = jax.nn.gelu(h, approximate=True)
+        h = nn.Dense(spatial * spatial * channels, dtype=self.dtype)(h)
+        h = h.reshape(h.shape[0], spatial, spatial, channels)
+        h = _adaln_norm(h)
+        h = FiLM(channels, dtype=self.dtype)(h, condition)
+        h = ConvNeXtBlock(dim=channels, use_grn=self.use_grn,
+                          dtype=self.dtype)(h)
+        h = h.reshape(residual.shape[0], -1)
+        h = nn.Dense(self.bottleneck_dim, dtype=self.dtype)(h)
+        h = jax.nn.gelu(h, approximate=True)
+        h = nn.Dense(self.noise_dimension, dtype=self.dtype)(h)
+        return h / self.num_blocks + residual
+
+
+class ConvEncoder(nn.Module):
+    """Strided-conv encoder: [B, noise_dim] -> [B, latent_dim].
+
+    Two stride-2 ConvNeXt-ish stages then a Dense head — the conv-native
+    counterpart of MLPEncoder for the convnet family.
+    """
+
+    noise_dimension: int
+    latent_dimension: int
+    base_channels: int = 16
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        spatial = math.isqrt(self.noise_dimension)
+        h = x.astype(self.dtype).reshape(x.shape[0], spatial, spatial, 1)
+        for i, channels in enumerate(
+                (self.base_channels, 2 * self.base_channels)):
+            h = nn.Conv(channels, kernel_size=(3, 3), strides=(2, 2),
+                        padding="SAME", dtype=self.dtype)(h)
+            h = _adaln_norm(h)
+            h = jax.nn.gelu(h, approximate=True)
+        return nn.Dense(self.latent_dimension,
+                        dtype=self.dtype)(h.reshape(h.shape[0], -1))
+
+
+class ConditionalConvFlow(nn.Module):
+    """Conditional flow with ConvNeXt decoder layers
+    (reference conv_flow.py:213-271)."""
+
+    noise_dimension: int
+    condition_dimension: int
+    num_blocks: int
+    latent_dimension: int
+    image_size: int = 28
+    use_grn: bool = True
+    num_latent_tokens: int = 32
+    dtype: Any = jnp.float32
+
+    def setup(self) -> None:
+        self.blocks = [
+            ConvStage(
+                noise_dimension=self.noise_dimension,
+                condition_dimension=self.condition_dimension,
+                num_blocks=self.num_blocks,
+                use_grn=self.use_grn,
+                dtype=self.dtype,
+            )
+            for _ in range(self.num_blocks)
+        ]
+        self.latent_proj = nn.Dense(self.condition_dimension, dtype=self.dtype)
+        self.encoder = ConvEncoder(
+            noise_dimension=self.noise_dimension,
+            latent_dimension=self.latent_dimension,
+            dtype=self.dtype,
+        )
+
+    def encode(self, x: jnp.ndarray) -> jnp.ndarray:
+        """[B, noise_dim] -> [B, latent_dim]."""
+        return self.encoder(x)
+
+
+    def init_all(self, x: jnp.ndarray, time: jnp.ndarray) -> jnp.ndarray:
+        """Init helper: touches encoder + decoder so one ``model.init(key, x,
+        time, method="init_all")`` creates every parameter (replaces the
+        reference's dual-init + param-merge dance, trainers/train.py:241-262).
+        """
+        return self(x, time, self.encode(x))
+
+    def __call__(self, x: jnp.ndarray, time: jnp.ndarray,
+                 latents: jnp.ndarray | None = None) -> jnp.ndarray:
+        cond = dual_time_embedding(
+            time, self.condition_dimension).astype(self.dtype)
+        if latents is not None:
+            flat = latents.reshape(latents.shape[0], -1).astype(self.dtype)
+            cond = cond + self.latent_proj(flat)
+        h = x.astype(self.dtype)
+        for block in self.blocks:
+            h = block(h, cond)
+        return h
