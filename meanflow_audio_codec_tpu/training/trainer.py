@@ -1,0 +1,333 @@
+"""The training loop (reference: meanflow_audio_codec/trainers/train.py:156-507).
+
+Orchestrates: tokenizer wiring -> workdir layout -> model/optimizer/state ->
+resume -> data iterator -> ONE jit-compiled fused train step (tokenization
+in-graph, state donated) -> JSONL logging + profiling (with MFU) -> periodic
+sampling with REAL encoder latents -> checkpoints with retention -> summary.
+
+Fix-by-design list vs the reference:
+  * honours ``config.architecture`` via the factory (reference hard-coded
+    ConditionalFlow, train.py:229);
+  * the whole step is one jit with donated state (reference ran eagerly,
+    training_steps.py:37-61, and tokenized per batch outside the step,
+    train.py:337-341);
+  * periodic sampling conditions on real encoder latents from a held-out
+    batch (reference used zero dummy latents, train.py:365-370 TODO);
+  * mean-flow methods sample through the dual-time interval sampler.
+
+Token layout ("flatten mode"):
+  * ``features`` — reference semantics: tokens flatten to one
+    [B, n_tokens*token_dim] vector per example (images).
+  * ``frames`` — TPU-native codec layout for audio+MDCT: every MDCT frame
+    becomes an independent batch row [B*n_frames, token_dim] (the models are
+    frame-local; frame independence is what makes 1-NFE decode and batch
+    sharding subsume sequence scaling — SURVEY.md §5.7).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Any, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from meanflow_audio_codec_tpu.configs import TrainFlowConfig
+from meanflow_audio_codec_tpu.data.audio import (
+    build_audio_pipeline,
+    synthetic_audio_pipeline,
+    write_wav,
+)
+from meanflow_audio_codec_tpu.data.mnist import load_mnist
+from meanflow_audio_codec_tpu.models import TrainState, create_flow_model
+from meanflow_audio_codec_tpu.ops.losses import ema
+from meanflow_audio_codec_tpu.ops.sampling import sample, sample_dual_time
+from meanflow_audio_codec_tpu.ops.tokenize import (
+    compute_token_shape,
+    create_tokenization_strategy,
+)
+from meanflow_audio_codec_tpu.training.checkpoints import (
+    cleanup_old_checkpoints,
+    count_params,
+    load_checkpoint_and_resume,
+    save_checkpoint_with_metadata,
+)
+from meanflow_audio_codec_tpu.training.logging import (
+    LogWriter,
+    collect_experiment_metadata,
+    generate_config_diff,
+    generate_training_summary,
+    plot_loss_curve,
+    plot_samples,
+    save_json,
+)
+from meanflow_audio_codec_tpu.training.objectives import create_loss_strategy
+from meanflow_audio_codec_tpu.training.profiling import (
+    ProfilingTrainer,
+    estimate_step_flops,
+)
+from meanflow_audio_codec_tpu.training.train_step import make_train_step
+
+
+# ============================================================================
+# Wiring helpers
+# ============================================================================
+
+
+def resolve_flatten_mode(config: TrainFlowConfig) -> str:
+    """'frames' for audio+mdct (per-frame codec layout) unless overridden."""
+    tok_cfg = config.tokenization_config or {}
+    if "flatten" in tok_cfg:
+        return tok_cfg["flatten"]
+    if (config.dataset == "audio"
+            and (config.tokenization_strategy or "mdct") == "mdct"):
+        return "frames"
+    return "features"
+
+
+def input_example_shape(config: TrainFlowConfig) -> tuple[int, ...]:
+    """Per-example raw data shape fed to the tokenizer."""
+    if config.dataset == "audio":
+        tok_cfg = config.tokenization_config or {}
+        frame_size = tok_cfg.get("frame_size", 65536)
+        channels = tok_cfg.get("channels", 2)
+        return (frame_size, channels)
+    return (784,)  # flat MNIST (reference convention)
+
+
+def effective_noise_dimension(config: TrainFlowConfig) -> int:
+    """Model input width after tokenization + flattening."""
+    strategy = create_tokenization_strategy(config.tokenization_strategy,
+                                            config.tokenization_config)
+    n_tokens, token_dim = compute_token_shape(strategy,
+                                              input_example_shape(config))
+    if resolve_flatten_mode(config) == "frames":
+        return token_dim
+    return n_tokens * token_dim
+
+
+def make_dataset_iterator(config: TrainFlowConfig) -> Iterator[np.ndarray]:
+    """Infinite batch iterator of raw (untokenized) data."""
+    if config.dataset == "audio":
+        tok_cfg = config.tokenization_config or {}
+        frame_size = tok_cfg.get("frame_size", 65536)
+        if config.data_dir and Path(config.data_dir).exists():
+            return build_audio_pipeline(
+                config.data_dir, seed=config.seed, frame_size=frame_size,
+                batch_size=config.batch_size)
+        print("No audio data_dir found; using synthetic audio source")
+        return synthetic_audio_pipeline(seed=config.seed,
+                                        frame_size=frame_size,
+                                        batch_size=config.batch_size)
+    train_iter, _ = load_mnist(config.batch_size, seed=config.seed)
+    return train_iter
+
+
+class TokenAdapter:
+    """Tokenize + flatten wrapper used inside the jitted step and for
+    round-tripping samples back to data space."""
+
+    def __init__(self, strategy, mode: str):
+        self.strategy = strategy
+        self.mode = mode
+        self._token_shape: tuple[int, int] | None = None
+
+    def tokenize(self, x: jnp.ndarray) -> jnp.ndarray:
+        tokens = self.strategy.tokenize(x)
+        self._token_shape = (int(tokens.shape[1]), int(tokens.shape[2]))
+        if self.mode == "frames":
+            return tokens.reshape(-1, tokens.shape[-1])
+        return tokens.reshape(tokens.shape[0], -1)
+
+    def detokenize_flat(self, flat: jnp.ndarray,
+                        token_shape: tuple[int, int]) -> jnp.ndarray:
+        n_tokens, token_dim = token_shape
+        if self.mode == "frames":
+            tokens = flat.reshape(-1, n_tokens, token_dim)
+        else:
+            tokens = flat.reshape(flat.shape[0], n_tokens, token_dim)
+        return self.strategy.detokenize(tokens)
+
+    @property
+    def token_shape(self) -> tuple[int, int] | None:
+        return self._token_shape
+
+
+# ============================================================================
+# Main entry
+# ============================================================================
+
+
+def train_flow(config: TrainFlowConfig, resume: bool = False) -> dict:
+    """Train a flow model per config; returns the run summary dict."""
+    workdir = Path(config.workdir)
+    samples_dir = workdir / "samples"
+    checkpoints_dir = workdir / "checkpoints"
+    logs_dir = workdir / "logs"
+    for d in (samples_dir, checkpoints_dir, logs_dir):
+        d.mkdir(parents=True, exist_ok=True)
+
+    # ---- tokenizer + effective model width ---------------------------------
+    strategy = create_tokenization_strategy(config.tokenization_strategy,
+                                            config.tokenization_config)
+    mode = resolve_flatten_mode(config)
+    adapter = TokenAdapter(strategy, mode)
+    example_shape = input_example_shape(config)
+    n_tokens, token_dim = compute_token_shape(strategy, example_shape)
+    noise_dim = token_dim if mode == "frames" else n_tokens * token_dim
+    if noise_dim != config.noise_dimension:
+        print(f"Overriding noise_dimension {config.noise_dimension} -> "
+              f"{noise_dim} (tokenized width, mode={mode})")
+        config.model.noise_dimension = noise_dim
+
+    # ---- run metadata / config persistence ---------------------------------
+    save_json(collect_experiment_metadata(config), workdir / "metadata.json")
+    config_path = workdir / "config.json"
+    if resume and config_path.exists():
+        from meanflow_audio_codec_tpu.configs import load_config_from_json
+        try:
+            old = load_config_from_json(config_path)
+            generate_config_diff(old, config, workdir / "config_diff.json")
+        except Exception as exc:
+            print(f"Could not diff previous config: {exc}")
+    save_json(config.to_dict(), config_path)
+
+    # ---- model / optimizer / state -----------------------------------------
+    model = create_flow_model(config)
+    tx = optax.adamw(config.base_lr, weight_decay=config.weight_decay)
+    rng = jax.random.PRNGKey(config.seed)
+    rng, init_key = jax.random.split(rng)
+    dummy_x = jnp.zeros((2, noise_dim), dtype=jnp.float32)
+    dummy_t = jnp.zeros((2, 2), dtype=jnp.float32)
+    variables = jax.jit(
+        lambda k: model.init(k, dummy_x, dummy_t, method="init_all")
+    )(init_key)
+    state = TrainState.create(apply_fn=model.apply,
+                              params=variables["params"], tx=tx)
+    param_count = count_params(state.params)
+
+    start_step = 0
+    if resume:
+        restored = load_checkpoint_and_resume(checkpoints_dir, state)
+        if restored is not None:
+            state, start_step = restored
+            print(f"Resumed from step {start_step}")
+        else:
+            print("No valid checkpoint found; starting from scratch")
+
+    # ---- data / objective / fused step -------------------------------------
+    data_iter = make_dataset_iterator(config)
+    objective = create_loss_strategy(config)
+    step_fn = make_train_step(objective, tokenizer=adapter, flatten=True,
+                              donate=True, remat=config.tpu.remat)
+
+    log = LogWriter(logs_dir / "train_log.jsonl")
+    first_batch = jnp.asarray(next(data_iter))
+    flops = estimate_step_flops(step_fn, state, rng, first_batch)
+    profiler = ProfilingTrainer(log_writer=log, flops_per_step=flops)
+    profiler.start_training(param_count=param_count)
+    print(f"Training {config.architecture or 'mlp'} / "
+          f"{config.method or 'flow_matching'} on {config.dataset}: "
+          f"{param_count:,} params, noise_dim {noise_dim}, "
+          f"{config.n_steps} steps")
+
+    # fixed held-out batch for periodic sampling with real latents
+    eval_batch = first_batch
+    token_shape = (n_tokens, token_dim)
+
+    loss_ema = None
+    batch = first_batch
+    is_mean_flow = (config.method in ("mean_flow", "improved_mean_flow")
+                    or config.use_improved_mean_flow)
+
+    def run_sampling(state, step: int) -> None:
+        if (config.method or "") == "autoencoder":
+            return
+        key = jax.random.PRNGKey(config.sample_seed)
+        x_tokens = adapter.tokenize(jnp.asarray(eval_batch))
+        latents = state.apply_fn({"params": state.params}, x_tokens,
+                                 method="encode")
+        sampler = sample_dual_time if is_mean_flow else sample
+        flat = sampler(state.apply_fn, noise_dim, state.params, key, latents,
+                       n_steps=config.sample_steps)
+        decoded = adapter.detokenize_flat(flat, token_shape)
+        decoded_np = np.asarray(jax.device_get(decoded), dtype=np.float32)
+        if config.dataset == "audio":
+            write_wav(samples_dir / f"step_{step:05d}.wav",
+                      decoded_np[0], sample_rate=44100)
+        else:
+            plot_samples(decoded_np[:16],
+                         samples_dir / f"step_{step:05d}.png")
+
+    # ---- hot loop -----------------------------------------------------------
+    for step in range(start_step, config.n_steps):
+        profiler.before_step()
+        rng, step_key = jax.random.split(rng)
+        state, metrics = step_fn(state, step_key, batch)
+        loss = float(metrics["loss"])  # host sync once per step
+        # NB: the adaptive weighted-L2 loss is ~1 by construction (w ~
+        # 1/||d||^2); 'mse' is the informative convergence signal.
+        mse = float(metrics["mse"]) if "mse" in metrics else None
+        loss_ema = ema(loss_ema, loss)
+        record = profiler.after_step(step)
+        log.write_step(step, loss=loss, loss_avg=loss_ema, mse=mse,
+                       lr=config.base_lr, **record)
+        if step % 50 == 0:
+            mfu = record.get("mfu")
+            mfu_str = f" mfu={mfu:.1%}" if mfu else ""
+            mse_str = f" mse={mse:.5f}" if mse is not None else ""
+            print(f"step {step}: loss={loss:.5f} avg={loss_ema:.5f}{mse_str} "
+                  f"t={record['step_time']*1e3:.1f}ms{mfu_str}")
+        # fetch the next batch while the device crunches this step
+        batch = jnp.asarray(next(data_iter))
+
+        if config.sample_every and (step + 1) % config.sample_every == 0:
+            run_sampling(state, step + 1)
+        checkpoint_every = config.checkpoint_step or config.sample_every
+        if checkpoint_every and (step + 1) % checkpoint_every == 0:
+            save_checkpoint_with_metadata(state, checkpoints_dir,
+                                          step=step + 1, config=config)
+            cleanup_old_checkpoints(checkpoints_dir,
+                                    config.max_checkpoints_to_keep,
+                                    final_step=config.n_steps)
+
+    # ---- finalisation -------------------------------------------------------
+    run_sampling(state, config.n_steps)
+    save_checkpoint_with_metadata(state, checkpoints_dir,
+                                  step=config.n_steps, config=config)
+    cleanup_old_checkpoints(checkpoints_dir, config.max_checkpoints_to_keep,
+                            final_step=config.n_steps)
+    perf = profiler.end_training(config.n_steps - start_step)
+    summary = generate_training_summary(
+        log.path, total_time=perf["total_time_sec"],
+        total_steps=config.n_steps - start_step, param_count=param_count)
+    summary.update({k: v for k, v in perf.items() if k not in summary})
+    save_json(summary, workdir / "summary.json")
+    plot_loss_curve(log.path, samples_dir / "loss_curve.png")
+    log.close()
+    steps_per_sec = summary.get("steps_per_sec")
+    if steps_per_sec:
+        print(f"Done: {steps_per_sec:.2f} steps/s over "
+              f"{config.n_steps - start_step} steps")
+    return summary
+
+
+def load_flow_state(checkpoint_path: Path | str, config: TrainFlowConfig):
+    """Rebuild model + state template and load a checkpoint for evaluation
+    (reference trainers/utils.py:439-470)."""
+    from meanflow_audio_codec_tpu.training.checkpoints import load_checkpoint
+
+    noise_dim = effective_noise_dimension(config)
+    if noise_dim != config.noise_dimension:
+        config.model.noise_dimension = noise_dim
+    model = create_flow_model(config)
+    tx = optax.adamw(config.base_lr, weight_decay=config.weight_decay)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((2, noise_dim)), jnp.zeros((2, 2)),
+                           method="init_all")
+    template = TrainState.create(apply_fn=model.apply,
+                                 params=variables["params"], tx=tx)
+    return load_checkpoint(checkpoint_path, template), model

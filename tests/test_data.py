@@ -1,0 +1,108 @@
+"""Data pipelines: MNIST fallbacks and the streaming audio stages."""
+
+import numpy as np
+import pytest
+
+from meanflow_audio_codec_tpu.data.audio import (
+    audio_to_frames,
+    batch,
+    buffer_shuffle,
+    build_audio_pipeline,
+    glob_audio_files,
+    load_audio_file,
+    synthetic_audio_pipeline,
+    write_wav,
+)
+from meanflow_audio_codec_tpu.data.mnist import (
+    load_mnist,
+    synthetic_mnist,
+)
+
+
+def test_load_mnist_contract():
+    train_iter, test_iter = load_mnist(batch_size=16, seed=0)
+    b1 = next(train_iter)
+    b2 = next(train_iter)
+    assert b1.shape == (16, 784) and b1.dtype == np.float32
+    assert b1.min() >= -1.0 and b1.max() <= 1.0
+    assert not np.array_equal(b1, b2)  # random sampling
+    t = next(test_iter)
+    assert t.shape == (16, 784)
+
+
+def test_synthetic_mnist_deterministic():
+    a, _ = synthetic_mnist(num_train=32, num_test=8, seed=5)
+    b, _ = synthetic_mnist(num_train=32, num_test=8, seed=5)
+    np.testing.assert_array_equal(a, b)
+    assert a.shape == (32, 28, 28) and a.dtype == np.uint8
+    assert len(np.unique(a)) > 2  # not degenerate
+
+
+def test_wav_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    audio = rng.uniform(-0.5, 0.5, size=(4410, 2)).astype(np.float32)
+    path = tmp_path / "x.wav"
+    write_wav(path, audio, sample_rate=44100)
+    decoded = load_audio_file(path)
+    assert decoded is not None and decoded.shape == (2, 4410)
+    np.testing.assert_allclose(decoded.T, audio, atol=2.0 / 32768)
+
+
+def test_wrong_sample_rate_dropped(tmp_path):
+    write_wav(tmp_path / "x.wav", np.zeros((100, 2), np.float32),
+              sample_rate=22050)
+    with pytest.warns(UserWarning, match="sample rate"):
+        assert load_audio_file(tmp_path / "x.wav") is None
+
+
+def test_audio_pipeline_stages(tmp_path):
+    rng = np.random.default_rng(1)
+    for i in range(3):
+        write_wav(tmp_path / f"f{i}.wav",
+                  rng.uniform(-0.5, 0.5, (3000, 2)).astype(np.float32))
+    files = glob_audio_files(tmp_path, seed=0)
+    assert len(files) == 3
+
+    pipeline = build_audio_pipeline(tmp_path, seed=0, frame_size=1024,
+                                    prefetch=2, buffer_size=4, batch_size=2,
+                                    loop=False)
+    batches = list(pipeline)
+    assert batches, "pipeline yielded nothing"
+    assert batches[0].shape == (2, 1024, 2)
+    assert batches[0].dtype == np.float32
+
+
+def test_audio_to_frames_pads_and_offsets():
+    stream = iter([np.ones((2, 2500), dtype=np.float32)])
+    frames = list(audio_to_frames(stream, frame_size=1000, seed=3))
+    assert all(f.shape == (1000, 2) for f in frames)
+    assert len(frames) >= 3  # 2500 samples + offset -> >= 3 frames
+    total = np.concatenate([f[:, 0] for f in frames])
+    assert total.sum() == pytest.approx(2500)  # padding is zeros, data kept
+
+
+def test_buffer_shuffle_preserves_items():
+    items = [np.full((2,), i, dtype=np.float32) for i in range(20)]
+    out = list(buffer_shuffle(iter(items), buffer_size=5, seed=0))
+    assert len(out) == 20
+    assert sorted(int(o[0]) for o in out) == list(range(20))
+    assert [int(o[0]) for o in out] != list(range(20))  # actually shuffled
+
+
+def test_batch_stage_drops_remainder():
+    items = [np.zeros((4,), np.float32)] * 7
+    out = list(batch(iter(items), batch_size=3))
+    assert len(out) == 2 and out[0].shape == (3, 4)
+
+
+def test_synthetic_audio_pipeline_shape():
+    it = synthetic_audio_pipeline(seed=0, frame_size=2048, batch_size=3)
+    frames = next(it)
+    assert frames.shape == (3, 2048, 2)
+    assert frames.dtype == np.float32
+    assert np.abs(frames).max() <= 2.0
+
+
+def test_missing_audio_dir_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        build_audio_pipeline(tmp_path / "nope", batch_size=1)

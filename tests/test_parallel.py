@@ -1,0 +1,118 @@
+"""Sharding: mesh construction, DP/TP shardings, sharded train step on the
+virtual 8-device CPU mesh (conftest pins XLA host device count to 8)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from meanflow_audio_codec_tpu.models import (
+    ConditionalMLPMixerFlow,
+    ConditionalFlow,
+    TrainState,
+)
+from meanflow_audio_codec_tpu.parallel import (
+    batch_sharding,
+    create_mesh,
+    shard_state,
+    state_shardings,
+)
+from meanflow_audio_codec_tpu.training import (
+    ImprovedMeanFlowObjective,
+    make_train_step,
+)
+
+
+def test_mesh_construction():
+    mesh = create_mesh()
+    assert mesh.shape["data"] == 8 and mesh.shape["model"] == 1
+    mesh2 = create_mesh(data=4, model=2)
+    assert mesh2.shape == {"data": 4, "model": 2}
+    with pytest.raises(ValueError):
+        create_mesh(data=3, model=2)  # 6 != 8
+    with pytest.raises(ValueError, match="divisible"):
+        create_mesh(model=3)
+
+
+def _state(model=None):
+    model = model or ConditionalFlow(noise_dimension=16,
+                                     condition_dimension=8,
+                                     num_blocks=1, latent_dimension=8)
+    dim = model.noise_dimension
+    variables = model.init(jax.random.PRNGKey(0), jnp.ones((8, dim)),
+                           jnp.zeros((8, 2)), method="init_all")
+    return TrainState.create(apply_fn=model.apply,
+                             params=variables["params"], tx=optax.adam(1e-3))
+
+
+def test_dp_sharded_train_step_matches_single_device():
+    """The 8-way DP step must produce the same loss as single-device."""
+    mesh = create_mesh(data=8)
+    state = _state()
+    objective = ImprovedMeanFlowObjective()
+    step = make_train_step(objective, donate=False)
+    key = jax.random.PRNGKey(1)
+    batch = jax.random.normal(jax.random.PRNGKey(2), (16, 16))
+
+    _, metrics_single = step(state, key, batch)
+
+    sharded_state = shard_state(state, mesh)
+    sharded_batch = jax.device_put(batch, batch_sharding(mesh))
+    _, metrics_sharded = step(sharded_state, key, sharded_batch)
+
+    np.testing.assert_allclose(float(metrics_single["loss"]),
+                               float(metrics_sharded["loss"]),
+                               rtol=2e-5)
+
+
+def test_dp_batch_actually_sharded():
+    mesh = create_mesh(data=8)
+    batch = jax.device_put(jnp.ones((16, 16)), batch_sharding(mesh))
+    assert len(batch.sharding.device_set) == 8
+    # each device holds 1/8 of the batch rows
+    shard = batch.addressable_shards[0]
+    assert shard.data.shape == (2, 16)
+
+
+def test_tp_partitions_large_kernels():
+    mesh = create_mesh(data=4, model=2)
+    model = ConditionalMLPMixerFlow(
+        noise_dimension=64, condition_dimension=16, num_blocks=1,
+        latent_dimension=16, token_mix_dim=256, channel_mix_dim=256,
+        num_channels=8, num_latent_tokens=4, encoder_context_tokens=8)
+    state = _state(model)
+    shardings = state_shardings(state, mesh)
+    flat = jax.tree_util.tree_leaves_with_path(shardings.params)
+    partitioned = [s for _, s in flat
+                   if isinstance(s, NamedSharding) and s.spec == P(None, "model")]
+    replicated_count = len(flat) - len(partitioned)
+    assert partitioned, "no kernel was tensor-partitioned"
+    assert replicated_count > 0  # biases etc. replicate
+
+    sharded = shard_state(state, mesh)
+    out = sharded.apply_fn({"params": sharded.params}, jnp.ones((8, 64)),
+                           jnp.zeros((8, 2)))
+    assert out.shape == (8, 64)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_tp_step_runs_and_matches():
+    mesh = create_mesh(data=4, model=2)
+    model = ConditionalMLPMixerFlow(
+        noise_dimension=64, condition_dimension=16, num_blocks=1,
+        latent_dimension=16, token_mix_dim=256, channel_mix_dim=256,
+        num_channels=8, num_latent_tokens=4, encoder_context_tokens=8)
+    state = _state(model)
+    objective = ImprovedMeanFlowObjective()
+    step = make_train_step(objective, donate=False)
+    key = jax.random.PRNGKey(3)
+    batch = jax.random.normal(jax.random.PRNGKey(4), (8, 64))
+
+    _, single = step(state, key, batch)
+    sharded_state = shard_state(state, mesh)
+    sharded_batch = jax.device_put(batch, batch_sharding(mesh))
+    _, sharded = step(sharded_state, key, sharded_batch)
+    np.testing.assert_allclose(float(single["loss"]), float(sharded["loss"]),
+                               rtol=5e-4)
