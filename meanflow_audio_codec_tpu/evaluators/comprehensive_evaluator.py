@@ -1,0 +1,153 @@
+"""ComprehensiveEvaluator: checkpoint -> NFE sweep -> quality + speed report.
+
+Re-design of the reference evaluator (meanflow_audio_codec/evaluators/
+comprehensive_evaluator.py:26-264): load a trained state, sweep the NFE
+list, generate samples (conditioned on REAL encoder latents from the given
+data — the reference used zero dummy latents), time inference, and compute
+domain metrics (MNIST: MSE/PSNR/SSIM; audio: spectral distance/SI-SNR/STOI,
+PESQ when installed).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from meanflow_audio_codec_tpu.configs import TrainFlowConfig
+from meanflow_audio_codec_tpu.evaluators import audio_metrics as am
+from meanflow_audio_codec_tpu.evaluators import metrics as im
+from meanflow_audio_codec_tpu.evaluators.performance import (
+    count_parameters,
+    inference_time,
+    memory_usage,
+)
+from meanflow_audio_codec_tpu.ops.sampling import sample, sample_dual_time
+from meanflow_audio_codec_tpu.ops.tokenize import (
+    compute_token_shape,
+    create_tokenization_strategy,
+)
+from meanflow_audio_codec_tpu.training.trainer import (
+    TokenAdapter,
+    input_example_shape,
+    load_flow_state,
+    resolve_flatten_mode,
+)
+
+DEFAULT_NFE_SWEEP = [1, 10, 50, 250]
+
+
+class ComprehensiveEvaluator:
+    """Evaluate one trained checkpoint across an NFE sweep."""
+
+    def __init__(self, checkpoint_path: Path | str, config: TrainFlowConfig,
+                 nfe_list: list[int] | None = None, num_samples: int = 64,
+                 batch_size: int = 32, seed: int = 0):
+        self.config = config
+        self.nfe_list = nfe_list or list(DEFAULT_NFE_SWEEP)
+        self.num_samples = num_samples
+        self.batch_size = batch_size
+        self.seed = seed
+        self.state, self.model = load_flow_state(checkpoint_path, config)
+        self.noise_dim = config.noise_dimension
+        strategy = create_tokenization_strategy(config.tokenization_strategy,
+                                                config.tokenization_config)
+        self.adapter = TokenAdapter(strategy,
+                                    resolve_flatten_mode(config))
+        self.token_shape = compute_token_shape(
+            strategy, input_example_shape(config))
+        self.param_info = count_parameters(self.state.params)
+        self._is_mean_flow = (
+            config.method in ("mean_flow", "improved_mean_flow")
+            or config.use_improved_mean_flow)
+
+    # ---- generation ----------------------------------------------------------
+    def _sample_flat(self, latents, nfe: int, key) -> jnp.ndarray:
+        sampler = sample_dual_time if self._is_mean_flow else sample
+        return sampler(self.state.apply_fn, self.noise_dim, self.state.params,
+                       key, latents, n_steps=nfe)
+
+    def evaluate(self, real_data: np.ndarray) -> dict:
+        """real_data: raw (untokenized) examples, [N, ...]."""
+        results: dict[str, Any] = {
+            "param_count": self.param_info["total"],
+            "nfe_sweep": {},
+            "memory_before": memory_usage(),
+        }
+        data = np.asarray(real_data[:self.num_samples])
+        x_tokens = self.adapter.tokenize(jnp.asarray(data))
+        latents = self.state.apply_fn({"params": self.state.params},
+                                      x_tokens, method="encode")
+        key = jax.random.PRNGKey(self.seed)
+
+        for nfe in self.nfe_list:
+            key, sub = jax.random.split(key)
+            t0 = time.perf_counter()
+            flat = self._sample_flat(latents, nfe, sub)
+            flat.block_until_ready()
+            first_latency = time.perf_counter() - t0
+            timing = inference_time(self._sample_flat, latents, nfe, sub,
+                                    warmup=1, runs=5)
+            decoded = self.adapter.detokenize_flat(flat, self.token_shape)
+            decoded_np = np.asarray(jax.device_get(decoded), dtype=np.float32)
+            entry = {
+                "nfe": nfe,
+                "first_call_sec": first_latency,
+                "inference": timing,
+                **self._quality(data, decoded_np),
+            }
+            results["nfe_sweep"][str(nfe)] = entry
+        results["memory_after"] = memory_usage()
+        return results
+
+    # ---- metrics -------------------------------------------------------------
+    def _quality(self, real: np.ndarray, generated: np.ndarray) -> dict:
+        n = min(len(real), len(generated))
+        real, generated = real[:n], generated[:n]
+        out: dict[str, float] = {}
+        if self.config.dataset == "audio":
+            ref = real.reshape(n, -1)
+            gen = generated.reshape(n, -1)
+            m = min(ref.shape[1], gen.shape[1])
+            out["mse"] = float(np.mean((ref[:, :m] - gen[:, :m]) ** 2))
+            out["spectral_distance"] = float(np.mean([
+                am.spectral_distance(r[:m], g[:m])
+                for r, g in zip(ref, gen)]))
+            out["si_snr_db"] = float(np.mean([
+                am.si_snr(r[:m], g[:m]) for r, g in zip(ref, gen)]))
+            try:
+                out["stoi"] = float(np.mean([
+                    am.stoi(r[:m], g[:m]) for r, g in zip(ref, gen)]))
+            except (ValueError, ImportError):
+                pass
+            try:
+                out["pesq"] = float(np.mean([
+                    am.pesq_score(r[:m], g[:m]) for r, g in zip(ref, gen)]))
+            except ImportError:
+                pass
+        else:
+            real_img = real.reshape(n, 28, 28)
+            gen_img = generated.reshape(n, -1)[:, :784].reshape(n, 28, 28)
+            out["mse"] = float(np.mean((real_img - gen_img) ** 2))
+            out["psnr_db"] = im.batch_psnr(real_img, gen_img)
+            out["ssim"] = im.batch_ssim(real_img, gen_img)
+            if n >= 4:
+                out["fid_pixel"] = im.frechet_distance(
+                    real_img.reshape(n, -1), gen_img.reshape(n, -1))
+                try:
+                    out["kid_pixel"] = im.kernel_inception_distance(
+                        real_img.reshape(n, -1), gen_img.reshape(n, -1),
+                        num_subsets=5, subset_size=min(50, n))
+                except ValueError:
+                    pass
+        return out
+
+    def save_results(self, results: dict, path: Path | str) -> None:
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        path.write_text(json.dumps(results, indent=2, default=str))

@@ -1,0 +1,117 @@
+"""Batch evaluation runner (reference: meanflow_audio_codec/tools/
+evaluate_all.py:21-309): glob configs -> find each run's latest checkpoint
+-> load real data -> ComprehensiveEvaluator -> aggregate one CSV row per
+(config, NFE)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+from pathlib import Path
+
+import numpy as np
+
+from meanflow_audio_codec_tpu.configs import load_config_from_json
+from meanflow_audio_codec_tpu.evaluators.comprehensive_evaluator import (
+    ComprehensiveEvaluator,
+    DEFAULT_NFE_SWEEP,
+)
+from meanflow_audio_codec_tpu.training.checkpoints import (
+    find_latest_checkpoint,
+)
+from meanflow_audio_codec_tpu.training.logging import append_metrics_csv
+
+
+def find_checkpoint_for(config) -> Path | None:
+    workdir = Path(config.workdir)
+    return find_latest_checkpoint(workdir / "checkpoints")
+
+
+def load_real_data(config, num_samples: int) -> np.ndarray:
+    """Held-out raw data for conditioning + quality metrics."""
+    if config.dataset == "audio":
+        from meanflow_audio_codec_tpu.data.audio import (
+            build_audio_pipeline,
+            synthetic_audio_pipeline,
+        )
+        tok_cfg = config.tokenization_config or {}
+        frame_size = tok_cfg.get("frame_size", 65536)
+        if config.data_dir and Path(config.data_dir).exists():
+            pipeline = build_audio_pipeline(
+                config.data_dir, seed=config.seed + 1,
+                frame_size=frame_size, batch_size=num_samples)
+        else:
+            pipeline = synthetic_audio_pipeline(
+                seed=config.seed + 1, frame_size=frame_size,
+                batch_size=num_samples)
+        return next(iter(pipeline))
+    from meanflow_audio_codec_tpu.data.mnist import load_mnist
+    _, test_iter = load_mnist(batch_size=num_samples, seed=config.seed)
+    return next(test_iter)
+
+
+def evaluate_config(config_path: Path, nfe_list: list[int],
+                    num_samples: int, csv_path: Path | None) -> dict | None:
+    config = load_config_from_json(config_path)
+    checkpoint = find_checkpoint_for(config)
+    if checkpoint is None:
+        print(f"skip {config_path.name}: no checkpoint under "
+              f"{config.workdir}")
+        return None
+    data = load_real_data(config, num_samples)
+    evaluator = ComprehensiveEvaluator(checkpoint, config, nfe_list=nfe_list,
+                                       num_samples=num_samples)
+    results = evaluator.evaluate(data)
+    results_path = Path(config.workdir) / "evaluation_results.json"
+    evaluator.save_results(results, results_path)
+    if csv_path is not None:
+        for nfe_key, entry in results["nfe_sweep"].items():
+            row = {
+                "config": config_path.stem,
+                "method": config.method,
+                "architecture": config.architecture,
+                "dataset": config.dataset,
+                "tokenization": config.tokenization_strategy,
+                "nfe": nfe_key,
+                "param_count": results["param_count"],
+                "inference_mean_sec": entry["inference"]["mean_sec"],
+            }
+            for metric in ("mse", "psnr_db", "ssim", "fid_pixel",
+                           "kid_pixel", "spectral_distance", "si_snr_db",
+                           "stoi", "pesq"):
+                if metric in entry:
+                    row[metric] = entry[metric]
+            append_metrics_csv(csv_path, row)
+    print(f"evaluated {config_path.name}: "
+          f"{json.dumps({k: round(v['mse'], 5) for k, v in results['nfe_sweep'].items()})}")
+    return results
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(description="Evaluate all trained configs")
+    parser.add_argument("--configs", type=Path, default=Path("configs"),
+                        help="directory of config JSONs (globbed *.json)")
+    parser.add_argument("--nfe", type=int, nargs="+",
+                        default=list(DEFAULT_NFE_SWEEP))
+    parser.add_argument("--num-samples", type=int, default=64)
+    parser.add_argument("--csv", type=Path, default=Path("metrics.csv"))
+    args = parser.parse_args(argv)
+
+    config_paths = sorted(args.configs.glob("*.json"))
+    if not config_paths:
+        print(f"no configs under {args.configs}")
+        return 1
+    evaluated = 0
+    for path in config_paths:
+        try:
+            if evaluate_config(path, args.nfe, args.num_samples,
+                               args.csv) is not None:
+                evaluated += 1
+        except Exception as exc:
+            print(f"FAILED {path.name}: {exc}")
+    print(f"Evaluated {evaluated}/{len(config_paths)} configs -> {args.csv}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

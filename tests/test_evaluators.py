@@ -1,0 +1,188 @@
+"""Evaluator metrics: property-based sanity checks + evaluator end-to-end."""
+
+import numpy as np
+import pytest
+
+from meanflow_audio_codec_tpu.evaluators import (
+    aggregate,
+    batch_psnr,
+    batch_ssim,
+    frechet_distance,
+    inference_time,
+    kernel_inception_distance,
+    psnr,
+    si_snr,
+    spectral_distance,
+    ssim,
+    stoi,
+)
+from meanflow_audio_codec_tpu.evaluators.audio_metrics import (
+    log_mel_spectrogram,
+    mel_filterbank,
+)
+
+
+# ---- image metrics ------------------------------------------------------------
+
+def test_frechet_distance_properties():
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((200, 8))
+    b = rng.standard_normal((200, 8)) + 3.0  # shifted distribution
+    same = frechet_distance(a, a)
+    far = frechet_distance(a, b)
+    assert same == pytest.approx(0.0, abs=1e-6)
+    assert far > 8.0 * 3.0  # ~ ||mu diff||^2 = 8 * 9
+
+
+def test_kid_properties():
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal((150, 16))
+    b = rng.standard_normal((150, 16)) * 2.0
+    near = kernel_inception_distance(a, a, num_subsets=4, subset_size=50)
+    far = kernel_inception_distance(a, b, num_subsets=4, subset_size=50)
+    assert abs(near) < 0.5
+    assert far > near
+    with pytest.raises(ValueError):
+        kernel_inception_distance(a[:1], b[:1])
+
+
+def test_psnr_and_ssim():
+    rng = np.random.default_rng(2)
+    img = rng.uniform(-1, 1, (28, 28))
+    assert psnr(img, img) == float("inf")
+    assert ssim(img, img) == pytest.approx(1.0, abs=1e-6)
+    noisy = img + rng.normal(0, 0.1, img.shape)
+    p = psnr(img, noisy)
+    assert 15 < p < 35
+    s = ssim(img, noisy)
+    assert 0 < s < 1
+    worse = img + rng.normal(0, 0.5, img.shape)
+    assert psnr(img, worse) < p
+    assert ssim(img, worse) < s
+    with pytest.raises(ValueError):
+        ssim(img, img[:14])
+
+
+def test_batch_metrics():
+    rng = np.random.default_rng(3)
+    a = rng.uniform(0, 1, (4, 28, 28))
+    b = a + rng.normal(0, 0.05, a.shape)
+    assert batch_psnr(a, b) > 20
+    assert 0 < batch_ssim(a, b) <= 1
+
+
+# ---- audio metrics ------------------------------------------------------------
+
+def _tone(freq, seconds=1.0, rate=44100):
+    t = np.arange(int(seconds * rate)) / rate
+    return np.sin(2 * np.pi * freq * t).astype(np.float32)
+
+
+def test_si_snr():
+    x = _tone(440)
+    assert si_snr(x, x) > 60  # identical -> huge SNR
+    assert si_snr(x, 0.5 * x) > 60  # scale-invariant
+    noisy = x + np.random.default_rng(0).normal(0, 0.1, x.shape)
+    mid = si_snr(x, noisy)
+    assert 5 < mid < 30
+    assert si_snr(x, np.random.default_rng(1).normal(0, 1, x.shape)) < 0
+
+
+def test_spectral_distance_domains():
+    x = _tone(440)
+    y = _tone(880)
+    for domain in ("mdct", "logmel"):
+        same = spectral_distance(x, x, domain=domain)
+        diff = spectral_distance(x, y, domain=domain)
+        assert same == pytest.approx(0.0, abs=1e-5)
+        assert diff > same
+    with pytest.raises(ValueError):
+        spectral_distance(x, y, domain="cepstrum")
+
+
+def test_mel_filterbank_shape_and_coverage():
+    bank = mel_filterbank(64, 1024, 44100)
+    assert bank.shape == (64, 513)
+    assert (bank >= 0).all()
+    assert bank.sum(axis=1).min() > 0  # every band covers some bins
+    spec = log_mel_spectrogram(_tone(440, 0.5))
+    assert spec.shape[1] == 64 and np.isfinite(spec).all()
+
+
+def test_stoi_orders_quality():
+    rng = np.random.default_rng(4)
+    # speech-ish: amplitude-modulated multi-tone
+    t = np.arange(44100) / 44100
+    clean = (np.sin(2 * np.pi * 220 * t) * (0.5 + 0.5 * np.sin(2 * np.pi * 4 * t))
+             + 0.3 * np.sin(2 * np.pi * 800 * t)).astype(np.float32)
+    perfect = stoi(clean, clean)
+    noisy = stoi(clean, clean + rng.normal(0, 0.3, clean.shape))
+    garbage = stoi(clean, rng.normal(0, 1, clean.shape))
+    assert perfect == pytest.approx(1.0, abs=1e-3)
+    assert perfect > noisy > garbage
+    with pytest.raises(ValueError):
+        stoi(clean[:1000], clean[:1000])  # too short
+
+
+# ---- performance + analysis ---------------------------------------------------
+
+def test_inference_time_stats():
+    import jax.numpy as jnp
+    import jax
+    fn = jax.jit(lambda x: x * 2.0)
+    stats = inference_time(fn, jnp.ones((8, 8)), warmup=1, runs=5)
+    assert stats["mean_sec"] > 0 and stats["runs"] == 5
+    assert stats["min_sec"] <= stats["p50_sec"] <= stats["max_sec"]
+
+
+def test_aggregate_confidence_intervals():
+    rows = [{"nfe": 1.0, "method": "imf", "mse": 1.0},
+            {"nfe": 1.0, "method": "imf", "mse": 3.0},
+            {"nfe": 10.0, "method": "imf", "mse": 0.5}]
+    summary = aggregate(rows, ("nfe", "method"), ("mse",))
+    assert len(summary) == 2
+    first = [s for s in summary if s["nfe"] == 1.0][0]
+    assert first["mse_mean"] == pytest.approx(2.0)
+    assert first["mse_ci95"] > 0
+    assert first["n"] == 2
+
+
+def test_comprehensive_evaluator_end_to_end(tmp_path):
+    """Train 3 steps, checkpoint, evaluate the NFE sweep on synthetic MNIST."""
+    from pathlib import Path
+    from meanflow_audio_codec_tpu.configs import (
+        BaseConfig, DatasetConfig, MethodConfig, ModelConfig,
+        TrainFlowConfig, TrainingConfig)
+    from meanflow_audio_codec_tpu.training.trainer import train_flow
+    from meanflow_audio_codec_tpu.evaluators import ComprehensiveEvaluator
+    from meanflow_audio_codec_tpu.training.checkpoints import (
+        find_latest_checkpoint)
+    from meanflow_audio_codec_tpu.data.mnist import load_mnist
+
+    config = TrainFlowConfig(
+        base=BaseConfig(batch_size=4, n_steps=2, base_lr=1e-3,
+                        weight_decay=0.0, seed=0),
+        model=ModelConfig(noise_dimension=784, condition_dimension=8,
+                          latent_dimension=4, num_blocks=1),
+        dataset=DatasetConfig(dataset="mnist",
+                              tokenization_strategy="reshape"),
+        method=MethodConfig(method="improved_mean_flow",
+                            use_improved_mean_flow=True),
+        training=TrainingConfig(sample_every=2, sample_seed=0, sample_steps=1,
+                                workdir=tmp_path / "run"),
+    )
+    train_flow(config)
+    checkpoint = find_latest_checkpoint(tmp_path / "run" / "checkpoints")
+    assert checkpoint is not None
+
+    evaluator = ComprehensiveEvaluator(checkpoint, config, nfe_list=[1, 2],
+                                       num_samples=8, batch_size=8)
+    _, test_iter = load_mnist(batch_size=8)
+    results = evaluator.evaluate(next(test_iter))
+    assert set(results["nfe_sweep"]) == {"1", "2"}
+    entry = results["nfe_sweep"]["1"]
+    assert "psnr_db" in entry and "ssim" in entry and "mse" in entry
+    assert entry["inference"]["mean_sec"] > 0
+    out = tmp_path / "results.json"
+    evaluator.save_results(results, out)
+    assert out.exists()

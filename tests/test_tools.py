@@ -1,0 +1,100 @@
+"""Tools layer: config generation, migration CLI, aggregation, tables."""
+
+import json
+from pathlib import Path
+
+import pytest
+
+from meanflow_audio_codec_tpu.configs import load_config_from_json
+from meanflow_audio_codec_tpu.tools.aggregate_results import (
+    group_stats,
+    load_rows,
+    write_csv,
+)
+from meanflow_audio_codec_tpu.tools.generate_configs import (
+    generate_ablations,
+    generate_matrix,
+)
+from meanflow_audio_codec_tpu.tools.generate_tables import (
+    generate_tables,
+    render_table,
+)
+from meanflow_audio_codec_tpu.tools.migrate_configs import migrate_file
+
+
+def test_generate_matrix_48_configs(tmp_path):
+    written = generate_matrix(tmp_path, workdir_root=str(tmp_path / "out"))
+    assert len(written) == 48
+    names = {p.stem for p in written}
+    assert ("method=improved_mean_flow--architecture=convnet--dataset=audio"
+            "--tokenization=mdct") in names
+    # every config loads and validates
+    for path in written:
+        config = load_config_from_json(path)
+        assert config.method in ("autoencoder", "flow_matching", "mean_flow",
+                                 "improved_mean_flow")
+
+
+def test_generate_ablations(tmp_path):
+    written = generate_ablations(tmp_path, workdir_root=str(tmp_path))
+    names = {p.stem for p in written}
+    assert any(n.startswith("ablation--gamma=") for n in names)
+    assert any(n.startswith("ablation--size=") for n in names)
+    assert "ablation--no_stop_gradient" in names
+    for path in written:
+        load_config_from_json(path)
+
+
+def test_migrate_file(tmp_path):
+    flat = {"batch_size": 8, "n_steps": 10, "base_lr": 1e-4,
+            "weight_decay": 0.0, "seed": 0, "noise_dimension": 16,
+            "condition_dimension": 4, "latent_dimension": 4, "num_blocks": 1,
+            "sample_every": 5, "sample_seed": 0, "sample_steps": 2,
+            "workdir": "/tmp/w"}
+    src = tmp_path / "v1.json"
+    src.write_text(json.dumps(flat))
+    assert migrate_file(src, src) is True
+    migrated = json.loads(src.read_text())
+    assert migrated["config_version"] == "2.0"
+    assert migrated["base"]["batch_size"] == 8
+    assert migrate_file(src, src) is False  # idempotent
+
+
+def test_aggregate_and_tables(tmp_path):
+    csv_path = tmp_path / "metrics.csv"
+    csv_path.write_text(
+        "method,architecture,nfe,mse,psnr_db\n"
+        "imf,mlp,1,0.5,20.0\n"
+        "imf,mlp,1,0.7,19.0\n"
+        "imf,mlp,10,0.2,25.0\n"
+        "fm,mlp,10,0.9,15.0\n")
+    rows = load_rows(csv_path)
+    assert rows[0]["mse"] == 0.5
+
+    summary = group_stats(rows, ("method", "nfe"))
+    by_key = {(r["method"], r["nfe"]): r for r in summary}
+    assert by_key[("imf", 1.0)]["mse_mean"] == pytest.approx(0.6)
+    assert by_key[("imf", 1.0)]["n"] == 2
+
+    out_csv = tmp_path / "agg.csv"
+    write_csv(summary, out_csv)
+    assert out_csv.exists()
+
+    written = generate_tables(csv_path, tmp_path / "tables")
+    extensions = {p.suffix for p in written}
+    assert extensions == {".tex", ".md", ".csv", ".html"}
+    latex = next(p for p in written if p.suffix == ".tex")
+    assert "\\begin{table}" in latex.read_text()
+    markdown = next(p for p in written
+                    if p.suffix == ".md" and "method_ablation" in p.name)
+    assert "|" in markdown.read_text()
+
+
+def test_render_table_formats():
+    rows = [{"a": 1.23456, "b": "x"}]
+    assert "1.235" in render_table(rows, "csv")
+    assert render_table(rows, "markdown").startswith("| a | b |")
+    assert "<table>" in render_table(rows, "html")
+    with pytest.raises(ValueError):
+        render_table(rows, "org")
+    assert render_table([], "csv") == ""
