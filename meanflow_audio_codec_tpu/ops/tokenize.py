@@ -57,16 +57,29 @@ class MDCTTokenization(TokenizationStrategy):
     """
 
     def __init__(self, window_size: int = 512, hop_size: int | None = None,
-                 config: MDCTConfig | None = None):
+                 config: MDCTConfig | None = None,
+                 use_pallas: bool | None = None):
         self.config = config if config is not None else MDCTConfig(
             window_size=window_size, hop_size=hop_size)
+        #: None = auto (fused Pallas kernel on TPU, XLA elsewhere)
+        self.use_pallas = use_pallas
+
+    def _forward(self, x: jnp.ndarray) -> jnp.ndarray:
+        use_pallas = self.use_pallas
+        if use_pallas is None:
+            import jax
+            use_pallas = jax.default_backend() == "tpu"
+        if use_pallas:
+            from meanflow_audio_codec_tpu.ops.mdct_pallas import mdct_pallas
+            return mdct_pallas(x, config=self.config)
+        return mdct(x, config=self.config)
 
     def tokenize(self, x: jnp.ndarray) -> jnp.ndarray:
         if x.ndim == 2:
-            return mdct(x, config=self.config)
+            return self._forward(x)
         if x.ndim == 3:
             # [B, T, C] -> [B, C, T]: one batched transform over B*C rows.
-            coeffs = mdct(jnp.moveaxis(x, -1, 1), config=self.config)
+            coeffs = self._forward(jnp.moveaxis(x, -1, 1))
             # [B, C, nf, W] -> [B, nf, W*C] (channel-major concat to match
             # the reference's per-channel concatenate order).
             b, c, nf, w = coeffs.shape
