@@ -194,13 +194,32 @@ def batch(stream: Iterator[np.ndarray],
 def build_audio_pipeline(data_dir: str | Path, seed: int = 0,
                          frame_size: int = DEFAULT_FRAME_SIZE,
                          prefetch: int = 2, buffer_size: int = 16,
-                         batch_size: int = 32,
-                         loop: bool = True) -> Iterator[np.ndarray]:
+                         batch_size: int = 32, loop: bool = True,
+                         native: bool | None = None) -> Iterator[np.ndarray]:
     """Full pipeline: yields [B, frame_size, 2] float32 batches
-    (reference audio.py:35-65)."""
+    (reference audio.py:35-65).
+
+    ``native=None`` auto-selects the C++ loader core (decode + framing +
+    shuffle + threaded prefetch in native code) for all-WAV corpora when the
+    toolchain is available; MP3 corpora use the Python stages.
+    """
     files = glob_audio_files(data_dir, seed)
     if not files:
         raise FileNotFoundError(f"No audio files under {data_dir}")
+    if native is None or native:
+        all_wav = all(f.suffix.lower() == ".wav" for f in files)
+        if all_wav or native:
+            from meanflow_audio_codec_tpu.data import native as native_mod
+            if native_mod.available():
+                return iter(native_mod.NativeAudioLoader(
+                    files, frame_size=frame_size, channels=2,
+                    batch_size=batch_size,
+                    buffer_frames=max(buffer_size, 2 * batch_size),
+                    n_threads=max(1, prefetch), seed=seed, loop=loop))
+            if native:
+                raise RuntimeError(
+                    f"native loader requested but unavailable: "
+                    f"{native_mod.load_error()}")
     stream = load_audio_files(files, prefetch=prefetch, loop=loop)
     stream = audio_to_frames(stream, frame_size, seed=seed)
     stream = buffer_shuffle(stream, buffer_size, seed=seed)

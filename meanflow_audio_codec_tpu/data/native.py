@@ -1,0 +1,165 @@
+"""ctypes binding for the native C++ data-loader core (native/dataloader.cpp).
+
+Builds ``libmacloader.so`` on demand with g++ (no pybind11 in this image)
+and exposes :class:`NativeAudioLoader`, a drop-in batch iterator matching
+the Python pipeline's output contract ([B, frame_size, C] float32). Falls
+back cleanly (``available() -> False``) when no toolchain is present.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+import threading
+from pathlib import Path
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
+_SOURCE = _NATIVE_DIR / "dataloader.cpp"
+_LIBRARY = _NATIVE_DIR / "libmacloader.so"
+_BUILD_LOCK = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_load_error: str | None = None
+
+
+def _build() -> bool:
+    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-shared",
+           "-pthread", "-o", str(_LIBRARY), str(_SOURCE)]
+    try:
+        result = subprocess.run(cmd, capture_output=True, text=True,
+                                timeout=120)
+    except (OSError, subprocess.TimeoutExpired) as exc:
+        global _load_error
+        _load_error = f"g++ invocation failed: {exc}"
+        return False
+    if result.returncode != 0:
+        _load_error = f"g++ failed: {result.stderr[-500:]}"
+        return False
+    return True
+
+
+def _load() -> ctypes.CDLL | None:
+    global _lib, _load_error
+    if _lib is not None:
+        return _lib
+    with _BUILD_LOCK:
+        if _lib is not None:
+            return _lib
+        if not _LIBRARY.exists() or (_SOURCE.exists() and
+                                     _SOURCE.stat().st_mtime
+                                     > _LIBRARY.stat().st_mtime):
+            if not _SOURCE.exists():
+                _load_error = f"source missing: {_SOURCE}"
+                return None
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(str(_LIBRARY))
+        except OSError as exc:
+            _load_error = f"dlopen failed: {exc}"
+            return None
+        lib.mac_loader_create.restype = ctypes.c_void_p
+        lib.mac_loader_create.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_uint64, ctypes.c_int]
+        lib.mac_loader_next.restype = ctypes.c_int
+        lib.mac_loader_next.argtypes = [ctypes.c_void_p,
+                                        ctypes.POINTER(ctypes.c_float)]
+        lib.mac_loader_frames_produced.restype = ctypes.c_uint64
+        lib.mac_loader_frames_produced.argtypes = [ctypes.c_void_p]
+        lib.mac_loader_files_skipped.restype = ctypes.c_uint64
+        lib.mac_loader_files_skipped.argtypes = [ctypes.c_void_p]
+        lib.mac_loader_destroy.argtypes = [ctypes.c_void_p]
+        lib.mac_decode_wav.restype = ctypes.c_long
+        lib.mac_decode_wav.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_long,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    """True when the native library is (or can be) built and loaded."""
+    return _load() is not None
+
+
+def load_error() -> str | None:
+    return _load_error
+
+
+def decode_wav_native(path: Path | str,
+                      max_samples: int = 1 << 26) -> tuple[np.ndarray, int] | None:
+    """Decode one WAV via the native parser -> ((C, T) float32, rate)."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = np.empty(max_samples, dtype=np.float32)
+    channels = ctypes.c_int()
+    rate = ctypes.c_int()
+    n = lib.mac_decode_wav(
+        str(path).encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        max_samples, ctypes.byref(channels), ctypes.byref(rate))
+    if n < 0:
+        return None
+    interleaved = buf[:n].reshape(-1, channels.value)
+    return np.ascontiguousarray(interleaved.T), rate.value
+
+
+class NativeAudioLoader:
+    """Multi-threaded native loader yielding [B, frame_size, C] batches."""
+
+    def __init__(self, files: list[Path | str], frame_size: int,
+                 channels: int = 2, batch_size: int = 32,
+                 buffer_frames: int = 64, n_threads: int = 2,
+                 target_rate: int = 44100, seed: int = 0,
+                 loop: bool = True):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError(f"native loader unavailable: {_load_error}")
+        if not files:
+            raise ValueError("no input files")
+        self._lib = lib
+        self.frame_size = frame_size
+        self.channels = channels
+        self.batch_size = batch_size
+        encoded = [str(f).encode() for f in files]
+        arr = (ctypes.c_char_p * len(encoded))(*encoded)
+        self._handle = lib.mac_loader_create(
+            arr, len(encoded), frame_size, channels, batch_size,
+            buffer_frames, n_threads, target_rate, seed, int(loop))
+        if not self._handle:
+            raise RuntimeError("mac_loader_create failed")
+        self._out = np.empty((batch_size, frame_size, channels),
+                             dtype=np.float32)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self) -> np.ndarray:
+        n = self._lib.mac_loader_next(
+            self._handle,
+            self._out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if n < self.batch_size:
+            raise StopIteration
+        return self._out.copy()
+
+    @property
+    def frames_produced(self) -> int:
+        return int(self._lib.mac_loader_frames_produced(self._handle))
+
+    @property
+    def files_skipped(self) -> int:
+        return int(self._lib.mac_loader_files_skipped(self._handle))
+
+    def close(self) -> None:
+        if self._handle:
+            self._lib.mac_loader_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

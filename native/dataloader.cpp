@@ -1,0 +1,291 @@
+// Native streaming audio data-loader core.
+//
+// TPU-native counterpart of the Python pipeline in
+// meanflow_audio_codec_tpu/data/audio.py (reference: meanflow_audio_codec/
+// datasets/audio.py:35-296, whose only native component was the external
+// minimp3py extension). This library owns the host-side hot path that feeds
+// the accelerator: file decode, random-offset framing, shuffle-buffer
+// sampling and multi-threaded prefetch, exposed through a minimal C ABI for
+// ctypes binding (no pybind11 in this image).
+//
+//   decode   : 16/24/32-bit PCM + IEEE float WAV (RIFF parser); files at
+//              the wrong sample rate are skipped, mono duplicates to stereo
+//   framing  : random 0..frame_size prepend offset, zero pad to a frame
+//              multiple (reference audio.py:265-278 semantics)
+//   shuffle  : fixed-capacity reservoir with O(1) swap-and-pop eviction
+//              (reference audio.py:209-218) under one mutex
+//   prefetch : N producer threads decode ahead; the consumer blocks on a
+//              condition variable — bounded and lossless (the reference's
+//              deque(maxlen) silently dropped batches when full)
+//
+// Build: make -C native   (g++ -O3 -shared -fPIC)
+
+#include <algorithm>
+#include <atomic>
+#include <condition_variable>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <mutex>
+#include <random>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Frame {
+  std::vector<float> samples;  // frame_size * channels, interleaved
+};
+
+struct WavData {
+  std::vector<float> samples;  // interleaved
+  int channels = 0;
+  int sample_rate = 0;
+};
+
+// ---------------------------------------------------------------------------
+// WAV decoding (RIFF little-endian parser)
+// ---------------------------------------------------------------------------
+
+bool read_exact(FILE* f, void* dst, size_t n) {
+  return fread(dst, 1, n, f) == n;
+}
+
+uint32_t le32(const unsigned char* p) {
+  return p[0] | (p[1] << 8) | (p[2] << 16) | (uint32_t(p[3]) << 24);
+}
+uint16_t le16(const unsigned char* p) { return p[0] | (p[1] << 8); }
+
+bool decode_wav(const char* path, WavData* out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  unsigned char hdr[12];
+  if (!read_exact(f, hdr, 12) || memcmp(hdr, "RIFF", 4) ||
+      memcmp(hdr + 8, "WAVE", 4)) {
+    fclose(f);
+    return false;
+  }
+  uint16_t format = 0, channels = 0, bits = 0;
+  uint32_t rate = 0;
+  bool have_fmt = false;
+  bool ok = false;
+  unsigned char chunk[8];
+  while (read_exact(f, chunk, 8)) {
+    uint32_t size = le32(chunk + 4);
+    if (!memcmp(chunk, "fmt ", 4)) {
+      std::vector<unsigned char> fmt(size);
+      if (!read_exact(f, fmt.data(), size)) break;
+      format = le16(fmt.data());
+      channels = le16(fmt.data() + 2);
+      rate = le32(fmt.data() + 4);
+      bits = le16(fmt.data() + 14);
+      have_fmt = true;
+    } else if (!memcmp(chunk, "data", 4) && have_fmt) {
+      std::vector<unsigned char> raw(size);
+      if (!read_exact(f, raw.data(), size)) break;
+      size_t bytes_per = bits / 8;
+      size_t count = size / bytes_per;
+      out->samples.resize(count);
+      if (format == 1 && bits == 16) {
+        for (size_t i = 0; i < count; ++i) {
+          int16_t v;
+          memcpy(&v, raw.data() + i * 2, 2);
+          out->samples[i] = float(v) / 32768.0f;
+        }
+      } else if (format == 1 && bits == 24) {
+        for (size_t i = 0; i < count; ++i) {
+          const unsigned char* p = raw.data() + i * 3;
+          int32_t v = (p[0] << 8) | (p[1] << 16) | (int32_t(p[2]) << 24);
+          out->samples[i] = float(v >> 8) / 8388608.0f;
+        }
+      } else if (format == 1 && bits == 32) {
+        for (size_t i = 0; i < count; ++i) {
+          int32_t v;
+          memcpy(&v, raw.data() + i * 4, 4);
+          out->samples[i] = float(v) / 2147483648.0f;
+        }
+      } else if (format == 3 && bits == 32) {  // IEEE float
+        memcpy(out->samples.data(), raw.data(), size);
+      } else {
+        break;
+      }
+      out->channels = channels;
+      out->sample_rate = int(rate);
+      ok = true;
+      break;
+    } else {
+      if (fseek(f, long(size + (size & 1)), SEEK_CUR) != 0) break;
+    }
+  }
+  fclose(f);
+  return ok && out->channels > 0;
+}
+
+// ---------------------------------------------------------------------------
+// Loader
+// ---------------------------------------------------------------------------
+
+struct Loader {
+  std::vector<std::string> files;
+  int frame_size;
+  int channels;
+  int batch_size;
+  size_t buffer_capacity;  // frames held by the shuffle reservoir
+  int target_rate;
+  bool loop;
+
+  std::vector<Frame> reservoir;
+  std::mutex mu;
+  std::condition_variable ready_cv;    // consumer waits: enough frames
+  std::condition_variable space_cv;    // producers wait: reservoir full
+  std::atomic<size_t> next_file{0};
+  std::atomic<bool> stop{false};
+  std::atomic<bool> exhausted{false};  // one-pass mode: producers done
+  std::atomic<uint64_t> frames_produced{0};
+  std::atomic<uint64_t> files_skipped{0};
+  std::vector<std::thread> workers;
+  std::mt19937_64 consumer_rng;
+
+  void producer(uint64_t seed) {
+    std::mt19937_64 rng(seed);
+    for (;;) {
+      size_t idx = next_file.fetch_add(1);
+      if (idx >= files.size()) {
+        if (!loop) break;
+        idx %= files.size();  // wrap; next_file keeps growing, benign
+      }
+      if (stop.load()) return;
+      WavData wav;
+      if (!decode_wav(files[idx % files.size()].c_str(), &wav) ||
+          wav.sample_rate != target_rate) {
+        files_skipped.fetch_add(1);
+        continue;
+      }
+      const int in_ch = wav.channels;
+      const size_t total = wav.samples.size() / size_t(in_ch);
+      std::uniform_int_distribution<int> offset_dist(0, frame_size - 1);
+      const int offset = offset_dist(rng);
+      const size_t padded = offset + total;
+      const size_t n_frames = (padded + frame_size - 1) / frame_size;
+      for (size_t fi = 0; fi < n_frames; ++fi) {
+        Frame frame;
+        frame.samples.assign(size_t(frame_size) * channels, 0.0f);
+        for (int s = 0; s < frame_size; ++s) {
+          const long src = long(fi) * frame_size + s - offset;
+          if (src < 0 || size_t(src) >= total) continue;
+          for (int c = 0; c < channels; ++c) {
+            const int sc = c < in_ch ? c : in_ch - 1;  // mono -> dup
+            frame.samples[size_t(s) * channels + c] =
+                wav.samples[size_t(src) * in_ch + sc];
+          }
+        }
+        std::unique_lock<std::mutex> lock(mu);
+        space_cv.wait(lock, [&] {
+          return stop.load() || reservoir.size() < buffer_capacity;
+        });
+        if (stop.load()) return;
+        reservoir.push_back(std::move(frame));
+        frames_produced.fetch_add(1);
+        ready_cv.notify_one();
+      }
+    }
+    // one-pass end: last worker flags exhaustion
+    std::lock_guard<std::mutex> lock(mu);
+    exhausted.store(true);
+    ready_cv.notify_all();
+  }
+
+  // Fills out[batch, frame_size, channels]; returns frames delivered.
+  int next_batch(float* out) {
+    int delivered = 0;
+    for (int b = 0; b < batch_size; ++b) {
+      Frame frame;
+      {
+        std::unique_lock<std::mutex> lock(mu);
+        ready_cv.wait(lock, [&] {
+          return stop.load() || !reservoir.empty() || exhausted.load();
+        });
+        if (stop.load()) return delivered;
+        if (reservoir.empty()) return delivered;  // exhausted
+        std::uniform_int_distribution<size_t> pick(0, reservoir.size() - 1);
+        size_t i = pick(consumer_rng);
+        std::swap(reservoir[i], reservoir.back());  // O(1) swap-and-pop
+        frame = std::move(reservoir.back());
+        reservoir.pop_back();
+        space_cv.notify_one();
+      }
+      memcpy(out + size_t(b) * frame_size * channels, frame.samples.data(),
+             sizeof(float) * frame_size * channels);
+      ++delivered;
+    }
+    return delivered;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* mac_loader_create(const char** paths, int n_files, int frame_size,
+                        int channels, int batch_size, int buffer_frames,
+                        int n_threads, int target_rate, uint64_t seed,
+                        int loop) {
+  if (n_files <= 0 || frame_size <= 0 || channels <= 0 || batch_size <= 0)
+    return nullptr;
+  auto* loader = new Loader();
+  loader->files.reserve(n_files);
+  for (int i = 0; i < n_files; ++i) loader->files.emplace_back(paths[i]);
+  std::mt19937_64 rng(seed);
+  std::shuffle(loader->files.begin(), loader->files.end(), rng);
+  loader->frame_size = frame_size;
+  loader->channels = channels;
+  loader->batch_size = batch_size;
+  loader->buffer_capacity =
+      size_t(buffer_frames > batch_size ? buffer_frames : batch_size);
+  loader->target_rate = target_rate;
+  loader->loop = loop != 0;
+  loader->consumer_rng.seed(seed ^ 0x9e3779b97f4a7c15ULL);
+  const int threads = n_threads > 0 ? n_threads : 1;
+  for (int t = 0; t < threads; ++t)
+    loader->workers.emplace_back(&Loader::producer, loader, seed + t + 1);
+  return loader;
+}
+
+// Returns the number of frames written into out[batch, frame, channels].
+int mac_loader_next(void* handle, float* out) {
+  return static_cast<Loader*>(handle)->next_batch(out);
+}
+
+uint64_t mac_loader_frames_produced(void* handle) {
+  return static_cast<Loader*>(handle)->frames_produced.load();
+}
+
+uint64_t mac_loader_files_skipped(void* handle) {
+  return static_cast<Loader*>(handle)->files_skipped.load();
+}
+
+void mac_loader_destroy(void* handle) {
+  auto* loader = static_cast<Loader*>(handle);
+  loader->stop.store(true);
+  loader->ready_cv.notify_all();
+  loader->space_cv.notify_all();
+  for (auto& w : loader->workers) w.join();
+  delete loader;
+}
+
+// Standalone single-file decode for tests: returns sample count (interleaved
+// into out, caller-allocated with capacity cap) or -1.
+long mac_decode_wav(const char* path, float* out, long cap, int* channels,
+                    int* sample_rate) {
+  WavData wav;
+  if (!decode_wav(path, &wav)) return -1;
+  long n = long(wav.samples.size());
+  if (n > cap) n = cap;
+  memcpy(out, wav.samples.data(), sizeof(float) * n);
+  *channels = wav.channels;
+  *sample_rate = wav.sample_rate;
+  return n;
+}
+
+}  // extern "C"
