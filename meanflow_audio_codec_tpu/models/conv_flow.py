@@ -34,12 +34,17 @@ class ConvStage(nn.Module):
     num_blocks: int
     use_grn: bool = True
     bottleneck_dim: int = 128
+    #: None -> reference formula min(16, cond_dim // 4) (conv_flow.py:139).
+    #: The 16-channel cap starves the MXU; production codec configs set this
+    #: explicitly (see factories.create_conv_flow(channels=...)).
+    channels: int | None = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, condition: jnp.ndarray) -> jnp.ndarray:
         spatial = math.isqrt(self.noise_dimension)
-        channels = min(16, self.condition_dimension // 4)
+        channels = (self.channels if self.channels is not None
+                    else min(16, self.condition_dimension // 4))
         residual = x
         h = nn.Dense(self.bottleneck_dim, dtype=self.dtype)(x)
         h = jax.nn.gelu(h, approximate=True)
@@ -99,15 +104,23 @@ class ConditionalConvFlow(nn.Module):
     image_size: int = 28
     use_grn: bool = True
     num_latent_tokens: int = 32
+    channels: int | None = None
+    bottleneck_dim: int = 128
+    #: rematerialise each decoder stage in the backward pass (per-block
+    #: jax.checkpoint — required for codec-scale batches in HBM).
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def setup(self) -> None:
+        stage_cls = nn.remat(ConvStage) if self.remat else ConvStage
         self.blocks = [
-            ConvStage(
+            stage_cls(
                 noise_dimension=self.noise_dimension,
                 condition_dimension=self.condition_dimension,
                 num_blocks=self.num_blocks,
                 use_grn=self.use_grn,
+                channels=self.channels,
+                bottleneck_dim=self.bottleneck_dim,
                 dtype=self.dtype,
             )
             for _ in range(self.num_blocks)

@@ -45,6 +45,8 @@ def create_mlp_flow(noise_dimension: int, latent_dimension: int,
 def create_conv_flow(noise_dimension: int, latent_dimension: int,
                      num_blocks: int, condition_dimension: int,
                      image_size: int = 28, use_grn: bool = True,
+                     channels: int | None = None,
+                     bottleneck_dim: int = 128,
                      dtype=jnp.float32) -> ConditionalConvFlow:
     return ConditionalConvFlow(
         noise_dimension=noise_dimension,
@@ -53,6 +55,8 @@ def create_conv_flow(noise_dimension: int, latent_dimension: int,
         latent_dimension=latent_dimension,
         image_size=image_size,
         use_grn=use_grn,
+        channels=channels,
+        bottleneck_dim=bottleneck_dim,
         dtype=dtype,
     )
 

@@ -61,6 +61,44 @@ def make_train_step(objective: Objective,
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_multi_step(objective: Objective, num_steps: int,
+                    tokenizer: Any | None = None, flatten: bool = True,
+                    donate: bool = True, remat: bool = False) -> Callable:
+    """K train steps per device call via ``lax.scan``.
+
+    One compiled program advances the state ``num_steps`` times over a
+    stacked batch ``[K, B, ...]`` — amortising per-call host dispatch (the
+    dominant cost on remote-dispatch links) and letting XLA overlap the
+    optimizer update with the next microbatch. Returns
+    ``(state, key, batches) -> (state, stacked_metrics)``.
+    """
+
+    def one(carry, batch):
+        state, key = carry
+        key, sub = jax.random.split(key)
+        x = batch
+        if tokenizer is not None:
+            x = tokenizer.tokenize(x)
+        if flatten and x.ndim > 2:
+            x = x.reshape(x.shape[0], -1)
+
+        def loss_fn(params):
+            return objective.loss(params, state.apply_fn, sub, x)
+
+        inner = jax.checkpoint(loss_fn) if remat else loss_fn
+        (loss, aux), grads = jax.value_and_grad(inner, has_aux=True)(
+            state.params)
+        new_state = state.apply_gradients(grads=grads)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads), **aux}
+        return (new_state, key), metrics
+
+    def run(state, key, batches):
+        (state, _), metrics = jax.lax.scan(one, (state, key), batches)
+        return state, metrics
+
+    return jax.jit(run, donate_argnums=(0,) if donate else ())
+
+
 def train_step(state, key, x, loss_strategy: Objective):
     """Reference-compatible single step (training_steps.py:37-61): strategy
     computes (loss, grads), optimizer applies. Prefer ``make_train_step`` —
