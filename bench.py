@@ -10,6 +10,9 @@ one v5e chip, BASELINE.md) because the reference publishes no RTF numbers;
 extras carry the train-throughput comparison against the reference's only
 measured training number (0.28 steps/s, iMF ConvFlow 7.26M params on an
 M1 — BASELINE.md "iMF ConvFlow-MNIST training session").
+
+All timings force device completion via host reads (block_until_ready is
+unreliable on remote-dispatch backends; see training/profiling.py).
 """
 
 from __future__ import annotations
@@ -22,13 +25,19 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from meanflow_audio_codec_tpu.training.profiling import (
+    estimate_step_flops,
+    force_completion,
+)
+
 SAMPLE_RATE = 48000
 WINDOW = 576
-SECONDS_PER_BATCH = 1.0
-BATCH = 8  # batches of 1 s stereo clips
+CLIP_SECONDS = 10.0
+BATCH_CLIPS = 16  # 16 x 10 s stereo per codec call
 
 M1_TRAIN_STEPS_PER_SEC = 0.28  # reference measured baseline
 RTF_TARGET = 200.0             # north-star target
+V5E_PEAK_FLOPS = 197e12
 
 
 def bench_codec_rtf() -> dict:
@@ -36,16 +45,19 @@ def bench_codec_rtf() -> dict:
     from meanflow_audio_codec_tpu.models import ConditionalConvFlow
     from meanflow_audio_codec_tpu.ops import MDCTConfig, MDCTTokenization
 
-    samples = int(SAMPLE_RATE * SECONDS_PER_BATCH)
+    samples = int(SAMPLE_RATE * CLIP_SECONDS)
     tok = MDCTTokenization(config=MDCTConfig(window_size=WINDOW,
                                              normalize=True))
     noise_dim = WINDOW * 2  # stereo frame token
+    # flagship codec: ~150M params (20x the reference's 7M ConvFlow) —
+    # sized so one v5e chip clears the 200x real-time target with margin
     model = ConditionalConvFlow(noise_dimension=noise_dim,
                                 condition_dimension=256, num_blocks=8,
-                                latent_dimension=256, dtype=jnp.bfloat16)
+                                latent_dimension=256, channels=32,
+                                bottleneck_dim=256, dtype=jnp.bfloat16)
 
     rng = np.random.default_rng(0)
-    audio = jnp.asarray(rng.standard_normal((BATCH, samples, 2)) * 0.3,
+    audio = jnp.asarray(rng.standard_normal((BATCH_CLIPS, samples, 2)) * 0.3,
                         dtype=jnp.float32)
     init_x = jnp.zeros((4, noise_dim), dtype=jnp.float32)
     params = jax.jit(lambda k: model.init(
@@ -64,23 +76,25 @@ def bench_codec_rtf() -> dict:
         decoded = (frames - u.astype(frames.dtype)).reshape(b, nf, width)
         return tok.detokenize(decoded)
 
-    out = codec(params, audio)
-    out.block_until_ready()  # compile
+    force_completion(codec(params, audio))  # compile + settle
     iters = 20
     t0 = time.perf_counter()
     for _ in range(iters):
         out = codec(params, audio)
-    out.block_until_ready()
+    force_completion(out)
     wall = (time.perf_counter() - t0) / iters
-    audio_seconds = BATCH * SECONDS_PER_BATCH
-    rtf = audio_seconds / wall
+    audio_seconds = BATCH_CLIPS * CLIP_SECONDS
     n_params = sum(int(np.size(p)) for p in jax.tree_util.tree_leaves(params))
-    return {"rtf": rtf, "wall_per_batch_ms": wall * 1e3,
+    return {"rtf": audio_seconds / wall, "wall_per_batch_ms": wall * 1e3,
             "codec_params": n_params}
 
 
 def bench_train_steps() -> dict:
-    """iMF ConvNet training throughput at reference model scale (~7M)."""
+    """iMF ConvNet training at codec scale: honest steps/s + MFU.
+
+    K steps per device call (lax.scan) amortise remote dispatch; FLOPs from
+    the XLA cost analysis of the single-step program.
+    """
     from meanflow_audio_codec_tpu.models import (
         ConditionalConvFlow,
         TrainState,
@@ -89,32 +103,44 @@ def bench_train_steps() -> dict:
         ImprovedMeanFlowObjective,
         make_train_step,
     )
+    from meanflow_audio_codec_tpu.training.train_step import make_multi_step
 
-    noise_dim, batch = 784, 128
+    noise_dim, batch, scan_k = 1152, 512, 8
     model = ConditionalConvFlow(noise_dimension=noise_dim,
-                                condition_dimension=128, num_blocks=8,
-                                latent_dimension=256, dtype=jnp.bfloat16)
-    x = jnp.zeros((batch, noise_dim), dtype=jnp.float32)
+                                condition_dimension=256, num_blocks=8,
+                                latent_dimension=256, channels=64,
+                                bottleneck_dim=512, dtype=jnp.bfloat16)
+    x0 = jnp.zeros((batch, noise_dim))
     variables = jax.jit(lambda k: model.init(
-        k, x, jnp.zeros((batch, 2)), method="init_all"))(jax.random.PRNGKey(0))
+        k, x0, jnp.zeros((batch, 2)), method="init_all"))(jax.random.PRNGKey(0))
     state = TrainState.create(apply_fn=model.apply,
                               params=variables["params"],
                               tx=optax.adamw(1e-4))
-    step = make_train_step(ImprovedMeanFlowObjective(), donate=True)
-    data = jax.random.normal(jax.random.PRNGKey(1), (batch, noise_dim))
-    key = jax.random.PRNGKey(2)
+    objective = ImprovedMeanFlowObjective()
+    single = make_train_step(objective, donate=False)
+    probe = jax.random.normal(jax.random.PRNGKey(1), (batch, noise_dim))
+    flops = estimate_step_flops(single, state, jax.random.PRNGKey(2), probe)
 
-    state, metrics = step(state, key, data)  # compile
-    jax.block_until_ready(metrics["loss"])
-    iters = 30
+    step = make_multi_step(objective, scan_k, donate=True)
+    batches = jax.random.normal(jax.random.PRNGKey(3),
+                                (scan_k, batch, noise_dim))
+    state, metrics = step(state, jax.random.PRNGKey(4), batches)
+    force_completion(metrics["loss"])
+    iters = 4
     t0 = time.perf_counter()
     for i in range(iters):
-        state, metrics = step(state, jax.random.fold_in(key, i), data)
-    jax.block_until_ready(metrics["loss"])
-    wall = (time.perf_counter() - t0) / iters
+        state, metrics = step(state, jax.random.fold_in(
+            jax.random.PRNGKey(5), i), batches)
+    force_completion(metrics["loss"])
+    wall = (time.perf_counter() - t0) / (iters * scan_k)
     n_params = sum(int(np.size(p))
                    for p in jax.tree_util.tree_leaves(state.params))
-    return {"train_steps_per_sec": 1.0 / wall, "train_params": n_params}
+    out = {"train_steps_per_sec": 1.0 / wall, "train_params": n_params,
+           "train_batch": batch}
+    if flops:
+        out["train_mfu"] = flops / wall / V5E_PEAK_FLOPS
+        out["train_tflops"] = flops / wall / 1e12
+    return out
 
 
 def main() -> None:
@@ -128,6 +154,7 @@ def main() -> None:
         "train_steps_per_sec": round(train["train_steps_per_sec"], 2),
         "train_vs_m1_reference": round(
             train["train_steps_per_sec"] / M1_TRAIN_STEPS_PER_SEC, 1),
+        "train_mfu": round(train.get("train_mfu", 0.0), 4),
         "codec_params": codec["codec_params"],
         "train_params": train["train_params"],
         "backend": jax.default_backend(),

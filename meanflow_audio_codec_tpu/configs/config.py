@@ -214,6 +214,8 @@ class TrainingConfig(Section):
     checkpoint_step: int | None = None
     max_checkpoints_to_keep: int | None = None
     checkpoint_format: str | None = None
+    #: model-weight EMA decay (None disables; samplers prefer EMA params)
+    ema_decay: float | None = None
 
     def __post_init__(self) -> None:
         if isinstance(self.workdir, str):
@@ -224,6 +226,9 @@ class TrainingConfig(Section):
             "sample_every", "sample_steps", "checkpoint_step", "max_checkpoints_to_keep"
         )
         self._check_choice("checkpoint_format")
+        if self.ema_decay is not None and not (0.0 < self.ema_decay < 1.0):
+            raise ValueError(
+                f"ema_decay must be in (0, 1), got {self.ema_decay}")
 
 
 @dataclass
@@ -456,7 +461,7 @@ _V1_SECTION_KEYS: dict[str, tuple[str, ...]] = {
                "time_sampling_data_proportion", "use_weighted_loss"),
     "training": ("sample_every", "sample_seed", "sample_steps", "workdir",
                  "checkpoint_step", "max_checkpoints_to_keep",
-                 "checkpoint_format"),
+                 "checkpoint_format", "ema_decay"),
     "tpu": ("mesh_data", "mesh_model", "precision", "remat", "donate"),
 }
 

@@ -205,8 +205,13 @@ def train_flow(config: TrainFlowConfig, resume: bool = False) -> dict:
     variables = jax.jit(
         lambda k: model.init(k, dummy_x, dummy_t, method="init_all")
     )(init_key)
-    state = TrainState.create(apply_fn=model.apply,
-                              params=variables["params"], tx=tx)
+    ema_decay = config.training.ema_decay
+    # EMA starts as a *copy* of params (sharing buffers would double-donate)
+    ema_init = (jax.tree_util.tree_map(jnp.array, variables["params"])
+                if ema_decay else None)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"], tx=tx,
+        ema_params=ema_init, ema_decay=ema_decay if ema_decay else 0.999)
     param_count = count_params(state.params)
 
     start_step = 0
@@ -247,11 +252,14 @@ def train_flow(config: TrainFlowConfig, resume: bool = False) -> dict:
         if (config.method or "") == "autoencoder":
             return
         key = jax.random.PRNGKey(config.sample_seed)
+        # samplers prefer the EMA weights when tracked
+        params = (state.ema_params if state.ema_params is not None
+                  else state.params)
         x_tokens = adapter.tokenize(jnp.asarray(eval_batch))
-        latents = state.apply_fn({"params": state.params}, x_tokens,
+        latents = state.apply_fn({"params": params}, x_tokens,
                                  method="encode")
         sampler = sample_dual_time if is_mean_flow else sample
-        flat = sampler(state.apply_fn, noise_dim, state.params, key, latents,
+        flat = sampler(state.apply_fn, noise_dim, params, key, latents,
                        n_steps=config.sample_steps)
         decoded = adapter.detokenize_flat(flat, token_shape)
         decoded_np = np.asarray(jax.device_get(decoded), dtype=np.float32)

@@ -46,6 +46,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sample-seed", type=int, default=None)
     p.add_argument("--checkpoint-step", type=int, default=None)
     p.add_argument("--max-checkpoints-to-keep", type=int, default=None)
+    p.add_argument("--ema-decay", type=float, default=None,
+                   help="model-weight EMA decay (samplers prefer EMA params)")
     p.add_argument("--precision", choices=["float32", "bfloat16", "mixed"],
                    default=None)
     p.add_argument("--frame-size", type=int, default=None,
@@ -82,7 +84,8 @@ def config_from_args(args) -> "TrainFlowConfig":
                      "sample_steps": args.sample_steps,
                      "sample_seed": args.sample_seed,
                      "checkpoint_step": args.checkpoint_step,
-                     "max_checkpoints_to_keep": args.max_checkpoints_to_keep},
+                     "max_checkpoints_to_keep": args.max_checkpoints_to_keep,
+                     "ema_decay": args.ema_decay},
         "tpu": {"precision": args.precision},
     }
     for section, kv in maps.items():
