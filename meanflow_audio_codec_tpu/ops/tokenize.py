@@ -64,15 +64,23 @@ class MDCTTokenization(TokenizationStrategy):
         #: None = auto (fused Pallas kernel on TPU, XLA elsewhere)
         self.use_pallas = use_pallas
 
-    def _forward(self, x: jnp.ndarray) -> jnp.ndarray:
-        use_pallas = self.use_pallas
-        if use_pallas is None:
+    def _use_pallas(self) -> bool:
+        if self.use_pallas is None:
             import jax
-            use_pallas = jax.default_backend() == "tpu"
-        if use_pallas:
+            return jax.default_backend() == "tpu"
+        return self.use_pallas
+
+    def _forward(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self._use_pallas():
             from meanflow_audio_codec_tpu.ops.mdct_pallas import mdct_pallas
             return mdct_pallas(x, config=self.config)
         return mdct(x, config=self.config)
+
+    def _inverse(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        if self._use_pallas():
+            from meanflow_audio_codec_tpu.ops.imdct_pallas import imdct_pallas
+            return imdct_pallas(tokens, config=self.config)
+        return imdct(tokens, config=self.config)
 
     def tokenize(self, x: jnp.ndarray) -> jnp.ndarray:
         if x.ndim == 2:
@@ -94,7 +102,7 @@ class MDCTTokenization(TokenizationStrategy):
         w = self.config.window_size
         token_dim = tokens.shape[2]
         if token_dim == w:
-            return imdct(tokens, config=self.config)
+            return self._inverse(tokens)
         if token_dim % w != 0:
             raise ValueError(
                 f"Invalid tokens shape: {tokens.shape}, token_dim ({token_dim}) "
@@ -104,7 +112,7 @@ class MDCTTokenization(TokenizationStrategy):
         b, nf, _ = tokens.shape
         # [B, nf, C, W] -> [B, C, nf, W]: one batched inverse over B*C rows.
         per_channel = jnp.moveaxis(tokens.reshape(b, nf, n_channels, w), 2, 1)
-        audio = imdct(per_channel, config=self.config)  # [B, C, T]
+        audio = self._inverse(per_channel)  # [B, C, T]
         return jnp.moveaxis(audio, 1, -1)  # [B, T, C]
 
 

@@ -223,14 +223,40 @@ def train_flow(config: TrainFlowConfig, resume: bool = False) -> dict:
         else:
             print("No valid checkpoint found; starting from scratch")
 
+    # ---- multi-device sharding (DP over 'data', TP over 'model') -----------
+    data_sharding = None
+    devices = jax.devices()
+    if len(devices) > 1:
+        from meanflow_audio_codec_tpu.parallel import (
+            batch_sharding,
+            mesh_from_config,
+            shard_state,
+        )
+        mesh = mesh_from_config(config)
+        data_size = mesh.shape["data"]
+        if config.batch_size % data_size == 0:
+            state = shard_state(state, mesh)
+            data_sharding = batch_sharding(mesh)
+            print(f"Sharding over mesh {dict(mesh.shape)}: batch "
+                  f"{config.batch_size} -> {config.batch_size // data_size} "
+                  f"per device")
+        else:
+            print(f"batch_size {config.batch_size} not divisible by mesh "
+                  f"data axis {data_size}; running single-device")
+
     # ---- data / objective / fused step -------------------------------------
     data_iter = make_dataset_iterator(config)
     objective = create_loss_strategy(config)
     step_fn = make_train_step(objective, tokenizer=adapter, flatten=True,
                               donate=True, remat=config.tpu.remat)
 
+    def to_device(batch):
+        if data_sharding is not None:
+            return jax.device_put(jnp.asarray(batch), data_sharding)
+        return jnp.asarray(batch)
+
     log = LogWriter(logs_dir / "train_log.jsonl")
-    first_batch = jnp.asarray(next(data_iter))
+    first_batch = to_device(next(data_iter))
     flops = estimate_step_flops(step_fn, state, rng, first_batch)
     profiler = ProfilingTrainer(log_writer=log, flops_per_step=flops)
     profiler.start_training(param_count=param_count)
@@ -290,7 +316,7 @@ def train_flow(config: TrainFlowConfig, resume: bool = False) -> dict:
             print(f"step {step}: loss={loss:.5f} avg={loss_ema:.5f}{mse_str} "
                   f"t={record['step_time']*1e3:.1f}ms{mfu_str}")
         # fetch the next batch while the device crunches this step
-        batch = jnp.asarray(next(data_iter))
+        batch = to_device(next(data_iter))
 
         if config.sample_every and (step + 1) % config.sample_every == 0:
             run_sampling(state, step + 1)
