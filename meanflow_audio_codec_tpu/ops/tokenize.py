@@ -19,7 +19,6 @@ import math
 from abc import ABC, abstractmethod
 
 import jax.numpy as jnp
-import numpy as np
 
 from meanflow_audio_codec_tpu.ops.mdct import (
     MDCTConfig,

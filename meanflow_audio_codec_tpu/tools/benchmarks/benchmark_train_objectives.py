@@ -10,7 +10,6 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from meanflow_audio_codec_tpu.models import ConditionalFlow, TrainState

@@ -17,7 +17,6 @@ from __future__ import annotations
 from typing import Any, Callable
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from meanflow_audio_codec_tpu.training.objectives import Objective
