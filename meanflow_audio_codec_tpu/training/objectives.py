@@ -137,6 +137,8 @@ class MeanFlowObjective(Objective):
         default_factory=MeanFlowTimeSampling)
     gamma: float = 0.5
     c: float = 1e-3
+    #: ablation knob: detach du/dt in the target (True = paper setting).
+    use_stop_gradient: bool = True
 
     def loss(self, params, apply_fn, key, x):
         k_noise, k_tr = jax.random.split(key)
@@ -154,7 +156,9 @@ class MeanFlowObjective(Objective):
 
         u, dudt = jax.jvp(u_fn, (noised, t, r),
                           (v, jnp.ones_like(t), jnp.zeros_like(r)))
-        u_target = v - jnp.clip(t - r, 0.0, 1.0) * jax.lax.stop_gradient(dudt)
+        dudt_term = (jax.lax.stop_gradient(dudt) if self.use_stop_gradient
+                     else dudt)
+        u_target = v - jnp.clip(t - r, 0.0, 1.0) * dudt_term
         err = u - u_target
         loss = adaptive_weighted_loss(err, gamma=self.gamma, c=self.c)
         return loss, {"mse": mse_loss(u, u_target)}
@@ -170,6 +174,8 @@ class ImprovedMeanFlowObjective(Objective):
     time_sampling: MeanFlowTimeSampling = field(
         default_factory=MeanFlowTimeSampling)
     use_weighted_loss: bool = True
+    #: ablation knob: detach du/dt in the compound prediction.
+    use_stop_gradient: bool = True
 
     def loss(self, params, apply_fn, key, x):
         k_noise, k_tr = jax.random.split(key)
@@ -190,7 +196,9 @@ class ImprovedMeanFlowObjective(Objective):
         u, dudt = jax.jvp(u_fn, (noised, t, r),
                           (v.astype(noised.dtype), jnp.ones_like(t),
                            jnp.zeros_like(r)))
-        v_pred = u + (t - r) * jax.lax.stop_gradient(dudt)
+        dudt_term = (jax.lax.stop_gradient(dudt) if self.use_stop_gradient
+                     else dudt)
+        v_pred = u + (t - r) * dudt_term
         loss_fn = weighted_l2_loss if self.use_weighted_loss else mse_loss
         return loss_fn(v_pred, target), {"mse": mse_loss(v_pred, target)}
 
@@ -232,8 +240,11 @@ def create_loss_strategy(config: Any) -> Objective:
             if config.time_sampling_mean is not None else -0.4)
     std = (config.time_sampling_std
            if config.time_sampling_std is not None else 1.0)
-    proportion = (config.time_sampling_data_proportion
-                  if config.time_sampling_data_proportion is not None else 0.5)
+    # flow_ratio is the legacy name for the r=t proportion (torch refs)
+    proportion = config.time_sampling_data_proportion
+    if proportion is None:
+        proportion = (config.flow_ratio
+                      if config.flow_ratio is not None else 0.5)
 
     time_name = config.time_sampling or "logit_normal"
     if time_name == "uniform":
@@ -262,16 +273,20 @@ def create_loss_strategy(config: Any) -> Objective:
         return FlowMatchingObjective(noise_schedule=noise_schedule,
                                      time_sampling=time_sampling,
                                      use_weighted_loss=use_weighted)
+    stop_grad = (config.use_stop_gradient
+                 if config.use_stop_gradient is not None else True)
     if name == "mean_flow":
         return MeanFlowObjective(
             time_sampling=mf_sampling,
             gamma=config.gamma if config.gamma is not None else 0.5,
             c=config.c if config.c is not None else 1e-3,
+            use_stop_gradient=stop_grad,
         )
     if name == "improved_mean_flow":
         return ImprovedMeanFlowObjective(noise_schedule=noise_schedule,
                                          time_sampling=mf_sampling,
-                                         use_weighted_loss=use_weighted)
+                                         use_weighted_loss=use_weighted,
+                                         use_stop_gradient=stop_grad)
     raise ValueError(
         f"Unknown loss_strategy: {name}. Must be one of: "
         "'autoencoder', 'flow_matching', 'mean_flow', 'improved_mean_flow'"
