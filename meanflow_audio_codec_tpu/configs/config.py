@@ -216,6 +216,8 @@ class TrainingConfig(Section):
     checkpoint_format: str | None = None
     #: model-weight EMA decay (None disables; samplers prefer EMA params)
     ema_decay: float | None = None
+    #: classifier-free guidance scale for periodic sampling (1.0 = off)
+    sample_guidance_scale: float | None = None
 
     def __post_init__(self) -> None:
         if isinstance(self.workdir, str):
@@ -249,10 +251,12 @@ class TPUConfig(Section):
     remat: bool = False
     #: donate state buffers into the train step (saves one params copy in HBM).
     donate: bool = True
+    #: train steps per device call (lax.scan); >1 amortises host dispatch.
+    steps_per_call: int = 1
 
     def validate(self) -> None:
         self._check_choice("precision")
-        self._check_positive("mesh_model")
+        self._check_positive("mesh_model", "steps_per_call")
         if self.mesh_data == 0:
             raise ValueError("mesh_data must be -1 or positive, got 0")
 
@@ -461,8 +465,9 @@ _V1_SECTION_KEYS: dict[str, tuple[str, ...]] = {
                "time_sampling_data_proportion", "use_weighted_loss"),
     "training": ("sample_every", "sample_seed", "sample_steps", "workdir",
                  "checkpoint_step", "max_checkpoints_to_keep",
-                 "checkpoint_format", "ema_decay"),
-    "tpu": ("mesh_data", "mesh_model", "precision", "remat", "donate"),
+                 "checkpoint_format", "ema_decay", "sample_guidance_scale"),
+    "tpu": ("mesh_data", "mesh_model", "precision", "remat", "donate",
+            "steps_per_call"),
 }
 
 

@@ -247,18 +247,37 @@ def train_flow(config: TrainFlowConfig, resume: bool = False) -> dict:
     # ---- data / objective / fused step -------------------------------------
     data_iter = make_dataset_iterator(config)
     objective = create_loss_strategy(config)
-    step_fn = make_train_step(objective, tokenizer=adapter, flatten=True,
-                              donate=True, remat=config.tpu.remat)
+    steps_per_call = max(1, config.tpu.steps_per_call)
+    if steps_per_call > 1:
+        from meanflow_audio_codec_tpu.training.train_step import (
+            make_multi_step,
+        )
+        step_fn = make_multi_step(objective, steps_per_call,
+                                  tokenizer=adapter, flatten=True,
+                                  donate=True, remat=config.tpu.remat)
+    else:
+        step_fn = make_train_step(objective, tokenizer=adapter, flatten=True,
+                                  donate=True, remat=config.tpu.remat)
 
-    def to_device(batch):
-        if data_sharding is not None:
-            return jax.device_put(jnp.asarray(batch), data_sharding)
-        return jnp.asarray(batch)
+    def to_device(batch, stacked: bool = False):
+        arr = jnp.asarray(batch)
+        if data_sharding is None:
+            return arr
+        if stacked:  # [K, B, ...]: batch axis is dim 1
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            return jax.device_put(
+                arr, NamedSharding(data_sharding.mesh, P(None, "data")))
+        return jax.device_put(arr, data_sharding)
 
     log = LogWriter(logs_dir / "train_log.jsonl")
     first_batch = to_device(next(data_iter))
-    flops = estimate_step_flops(step_fn, state, rng, first_batch)
-    profiler = ProfilingTrainer(log_writer=log, flops_per_step=flops)
+    # FLOPs from a single-step probe program (works for both step modes)
+    probe_fn = make_train_step(objective, tokenizer=adapter, flatten=True,
+                               donate=False, remat=config.tpu.remat)
+    flops = estimate_step_flops(probe_fn, state, rng, first_batch)
+    profiler = ProfilingTrainer(
+        log_writer=log,
+        flops_per_step=flops * steps_per_call if flops else None)
     profiler.start_training(param_count=param_count)
     print(f"Training {config.architecture or 'mlp'} / "
           f"{config.method or 'flow_matching'} on {config.dataset}: "
@@ -285,8 +304,9 @@ def train_flow(config: TrainFlowConfig, resume: bool = False) -> dict:
         latents = state.apply_fn({"params": params}, x_tokens,
                                  method="encode")
         sampler = sample_dual_time if is_mean_flow else sample
+        guidance = config.training.sample_guidance_scale or 1.0
         flat = sampler(state.apply_fn, noise_dim, params, key, latents,
-                       n_steps=config.sample_steps)
+                       n_steps=config.sample_steps, guidance_scale=guidance)
         decoded = adapter.detokenize_flat(flat, token_shape)
         decoded_np = np.asarray(jax.device_get(decoded), dtype=np.float32)
         if config.dataset == "audio":
@@ -297,33 +317,68 @@ def train_flow(config: TrainFlowConfig, resume: bool = False) -> dict:
                          samples_dir / f"step_{step:05d}.png")
 
     # ---- hot loop -----------------------------------------------------------
-    for step in range(start_step, config.n_steps):
+    chunk_fns = {steps_per_call: step_fn}
+
+    def chunk_fn(k: int):
+        if k not in chunk_fns:
+            from meanflow_audio_codec_tpu.training.train_step import (
+                make_multi_step,
+            )
+            # always the scan form: the chunked path feeds [k, B, ...] even
+            # for a final partial chunk of k == 1
+            chunk_fns[k] = make_multi_step(
+                objective, k, tokenizer=adapter, flatten=True,
+                donate=True, remat=config.tpu.remat)
+        return chunk_fns[k]
+
+    step = start_step
+    first_chunk = True
+    while step < config.n_steps:
+        k = min(steps_per_call, config.n_steps - step)
         profiler.before_step()
         rng, step_key = jax.random.split(rng)
-        state, metrics = step_fn(state, step_key, batch)
-        loss = float(metrics["loss"])  # host sync once per step
+        if steps_per_call == 1:
+            state, metrics = step_fn(state, step_key, batch)
+            series = {name: [value] for name, value in metrics.items()}
+            batch = to_device(next(data_iter))  # prefetch next
+        else:
+            raws = ([np.asarray(jax.device_get(batch))] if first_chunk else [])
+            while len(raws) < k:
+                raws.append(np.asarray(next(data_iter)))
+            stacked = to_device(np.stack(raws), stacked=True)
+            state, series = chunk_fn(k)(state, step_key, stacked)
+            series = {name: np.asarray(value)
+                      for name, value in series.items()}
+        first_chunk = False
         # NB: the adaptive weighted-L2 loss is ~1 by construction (w ~
         # 1/||d||^2); 'mse' is the informative convergence signal.
-        mse = float(metrics["mse"]) if "mse" in metrics else None
-        loss_ema = ema(loss_ema, loss)
         record = profiler.after_step(step)
-        log.write_step(step, loss=loss, loss_avg=loss_ema, mse=mse,
-                       lr=config.base_lr, **record)
-        if step % 50 == 0:
-            mfu = record.get("mfu")
-            mfu_str = f" mfu={mfu:.1%}" if mfu else ""
-            mse_str = f" mse={mse:.5f}" if mse is not None else ""
-            print(f"step {step}: loss={loss:.5f} avg={loss_ema:.5f}{mse_str} "
-                  f"t={record['step_time']*1e3:.1f}ms{mfu_str}")
-        # fetch the next batch while the device crunches this step
-        batch = to_device(next(data_iter))
+        per_step_time = record["step_time"] / k
+        for i in range(k):
+            loss = float(series["loss"][i])
+            mse = float(series["mse"][i]) if "mse" in series else None
+            loss_ema = ema(loss_ema, loss)
+            log.write_step(step + i, loss=loss, loss_avg=loss_ema, mse=mse,
+                           lr=config.base_lr, step_time=per_step_time,
+                           **{name: value for name, value in record.items()
+                              if name not in ("step_time",)})
+            if (step + i) % 50 == 0:
+                mfu = record.get("mfu")
+                mfu_str = f" mfu={mfu:.1%}" if mfu else ""
+                mse_str = f" mse={mse:.5f}" if mse is not None else ""
+                print(f"step {step + i}: loss={loss:.5f} "
+                      f"avg={loss_ema:.5f}{mse_str} "
+                      f"t={per_step_time*1e3:.1f}ms{mfu_str}")
+        prev_step, step = step, step + k
 
-        if config.sample_every and (step + 1) % config.sample_every == 0:
-            run_sampling(state, step + 1)
-        checkpoint_every = config.checkpoint_step or config.sample_every
-        if checkpoint_every and (step + 1) % checkpoint_every == 0:
+        def crossed(every: int | None) -> bool:
+            return bool(every) and (step // every) > (prev_step // every)
+
+        if crossed(config.sample_every):
+            run_sampling(state, step)
+        if crossed(config.checkpoint_step or config.sample_every):
             save_checkpoint_with_metadata(state, checkpoints_dir,
-                                          step=step + 1, config=config)
+                                          step=step, config=config)
             cleanup_old_checkpoints(checkpoints_dir,
                                     config.max_checkpoints_to_keep,
                                     final_step=config.n_steps)
