@@ -32,7 +32,7 @@ import jax
 import numpy as np
 from flax import serialization
 
-CHECKPOINT_RE = re.compile(r"step_(\d+)\.msgpack$")
+CHECKPOINT_RE = re.compile(r"step_(\d+)\.(?:msgpack|orbax)$")
 MIN_CHECKPOINT_BYTES = 100
 
 
@@ -53,6 +53,65 @@ def save_checkpoint(state, path: Path | str) -> Path:
 def load_checkpoint(path: Path | str, template):
     """Deserialise msgpack bytes into a freshly-initialised template state."""
     return serialization.from_bytes(template, Path(path).read_bytes())
+
+
+# ---------------------------------------------------------------------------
+# Orbax backend (async-capable, sharding-aware; config checkpoint_format)
+# ---------------------------------------------------------------------------
+
+
+def _state_arrays(state) -> dict:
+    """The serialisable subtree of a TrainState (no apply_fn/tx)."""
+    return {
+        "step": state.step,
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "ema_params": state.ema_params,
+    }
+
+
+def save_checkpoint_orbax(state, path: Path | str) -> Path:
+    """Write a TrainState via orbax (directory checkpoint)."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).absolute()
+    if path.exists():
+        import shutil
+        shutil.rmtree(path)
+    with ocp.PyTreeCheckpointer() as checkpointer:
+        checkpointer.save(path, jax.device_get(_state_arrays(state)))
+    return path
+
+
+def load_checkpoint_orbax(path: Path | str, template):
+    """Restore a TrainState saved with :func:`save_checkpoint_orbax`.
+
+    Orbax round-trips tuples/namedtuples (optax states) as lists; the
+    template's tree structure is re-imposed by unflattening the restored
+    leaves (identical flattening order: dict keys sort, sequences keep
+    order)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as checkpointer:
+        restored_raw = checkpointer.restore(Path(path).absolute())
+    target = _state_arrays(template)
+    leaves = jax.tree_util.tree_leaves(restored_raw)
+    want_leaves = jax.tree_util.tree_leaves(target)
+    if len(leaves) != len(want_leaves):
+        raise ValueError(
+            f"checkpoint has {len(leaves)} leaves, template expects "
+            f"{len(want_leaves)}")
+    for got, want in zip(leaves, want_leaves):
+        if np.shape(got) != np.shape(want):
+            raise ValueError(
+                f"checkpoint leaf shape {np.shape(got)} != template "
+                f"{np.shape(want)}")
+    treedef = jax.tree_util.tree_structure(target)
+    restored = jax.tree_util.tree_unflatten(treedef, leaves)
+    return template.replace(
+        step=restored["step"], params=restored["params"],
+        opt_state=restored["opt_state"],
+        ema_params=restored["ema_params"])
 
 
 def save_params_only(state, path: Path | str) -> Path:
@@ -109,7 +168,10 @@ def checkpoint_metadata(state, path: Path, config: Any | None = None) -> dict:
         "jax_version": jax.__version__,
         "flax_version": flax.__version__,
         "platform": jax.default_backend(),
-        "checkpoint_bytes": path.stat().st_size if path.exists() else None,
+        "checkpoint_bytes": (
+            sum(f.stat().st_size for f in path.rglob("*") if f.is_file())
+            if path.is_dir() else
+            path.stat().st_size if path.exists() else None),
         "param_count": count_params(state.params),
         "param_shapes": _param_shapes(state.params),
     }
@@ -117,14 +179,22 @@ def checkpoint_metadata(state, path: Path, config: Any | None = None) -> dict:
 
 def save_checkpoint_with_metadata(state, checkpoint_dir: Path | str,
                                   step: int | None = None,
-                                  config: Any | None = None) -> Path:
-    """Write ``step_{N:05d}.msgpack`` + ``.metadata.json`` sidecar."""
+                                  config: Any | None = None,
+                                  fmt: str | None = None) -> Path:
+    """Write ``step_{N:05d}.msgpack`` (or ``.orbax`` dir) + metadata sidecar."""
     checkpoint_dir = Path(checkpoint_dir)
+    checkpoint_dir.mkdir(parents=True, exist_ok=True)
     step = int(state.step) if step is None else int(step)
-    path = checkpoint_dir / f"step_{step:05d}.msgpack"
-    save_checkpoint(state, path)
+    fmt = fmt or "msgpack"
+    if fmt == "orbax":
+        path = save_checkpoint_orbax(
+            state, checkpoint_dir / f"step_{step:05d}.orbax")
+    else:
+        path = checkpoint_dir / f"step_{step:05d}.msgpack"
+        save_checkpoint(state, path)
     meta = checkpoint_metadata(state, path, config)
     meta["step"] = step
+    meta["format"] = fmt
     sidecar = checkpoint_dir / f"step_{step:05d}.metadata.json"
     sidecar.write_text(json.dumps(meta, indent=2))
     return path
@@ -140,6 +210,9 @@ def validate_checkpoint_file(path: Path | str) -> tuple[bool, str]:
     path = Path(path)
     if not path.exists():
         return False, "file does not exist"
+    if path.is_dir():  # orbax directory checkpoint
+        has_payload = any(path.rglob("*"))
+        return (has_payload, "ok" if has_payload else "empty orbax dir")
     if path.stat().st_size < MIN_CHECKPOINT_BYTES:
         return False, f"file too small ({path.stat().st_size} bytes)"
     try:
@@ -155,7 +228,10 @@ def validate_checkpoint_structure(path: Path | str, template) -> tuple[bool, str
     if not ok:
         return ok, reason
     try:
-        load_checkpoint(path, template)
+        if Path(path).is_dir():
+            load_checkpoint_orbax(path, template)
+        else:
+            load_checkpoint(path, template)
     except Exception as exc:
         return False, f"structure mismatch: {exc}"
     return True, "ok"
@@ -188,11 +264,12 @@ def get_checkpoint_step(path: Path | str) -> int | None:
 
 
 def list_checkpoints(checkpoint_dir: Path | str) -> list[Path]:
-    """All checkpoints sorted by step ascending."""
+    """All checkpoints (msgpack files + orbax dirs) sorted by step."""
     checkpoint_dir = Path(checkpoint_dir)
     if not checkpoint_dir.exists():
         return []
-    found = [p for p in checkpoint_dir.glob("step_*.msgpack")
+    found = [p for pattern in ("step_*.msgpack", "step_*.orbax")
+             for p in checkpoint_dir.glob(pattern)
              if get_checkpoint_step(p) is not None]
     return sorted(found, key=get_checkpoint_step)
 
@@ -236,9 +313,13 @@ def cleanup_old_checkpoints(checkpoint_dir: Path | str,
     for path in deletable:
         if excess <= 0:
             break
-        path.unlink(missing_ok=True)
-        sidecar = Path(str(path).replace(".msgpack", ".metadata.json"))
-        sidecar.unlink(missing_ok=True)
+        if path.is_dir():
+            import shutil
+            shutil.rmtree(path, ignore_errors=True)
+        else:
+            path.unlink(missing_ok=True)
+        stem = path.name.rsplit(".", 1)[0]
+        (path.parent / f"{stem}.metadata.json").unlink(missing_ok=True)
         deleted.append(path)
         excess -= 1
     return deleted
@@ -251,6 +332,9 @@ def load_checkpoint_and_resume(checkpoint_dir: Path | str, template
     path = find_valid_checkpoint(checkpoint_dir, template)
     if path is None:
         return None
-    state = load_checkpoint(path, template)
+    if path.is_dir():
+        state = load_checkpoint_orbax(path, template)
+    else:
+        state = load_checkpoint(path, template)
     step = get_checkpoint_step(path)
     return state, (step if step is not None else int(state.step))

@@ -377,8 +377,9 @@ def train_flow(config: TrainFlowConfig, resume: bool = False) -> dict:
         if crossed(config.sample_every):
             run_sampling(state, step)
         if crossed(config.checkpoint_step or config.sample_every):
-            save_checkpoint_with_metadata(state, checkpoints_dir,
-                                          step=step, config=config)
+            save_checkpoint_with_metadata(
+                state, checkpoints_dir, step=step, config=config,
+                fmt=config.training.checkpoint_format)
             cleanup_old_checkpoints(checkpoints_dir,
                                     config.max_checkpoints_to_keep,
                                     final_step=config.n_steps)
@@ -386,7 +387,8 @@ def train_flow(config: TrainFlowConfig, resume: bool = False) -> dict:
     # ---- finalisation -------------------------------------------------------
     run_sampling(state, config.n_steps)
     save_checkpoint_with_metadata(state, checkpoints_dir,
-                                  step=config.n_steps, config=config)
+                                  step=config.n_steps, config=config,
+                                  fmt=config.training.checkpoint_format)
     cleanup_old_checkpoints(checkpoints_dir, config.max_checkpoints_to_keep,
                             final_step=config.n_steps)
     perf = profiler.end_training(config.n_steps - start_step)
@@ -407,7 +409,10 @@ def train_flow(config: TrainFlowConfig, resume: bool = False) -> dict:
 def load_flow_state(checkpoint_path: Path | str, config: TrainFlowConfig):
     """Rebuild model + state template and load a checkpoint for evaluation
     (reference trainers/utils.py:439-470)."""
-    from meanflow_audio_codec_tpu.training.checkpoints import load_checkpoint
+    from meanflow_audio_codec_tpu.training.checkpoints import (
+        load_checkpoint,
+        load_checkpoint_orbax,
+    )
 
     noise_dim = effective_noise_dimension(config)
     if noise_dim != config.noise_dimension:
@@ -419,4 +424,6 @@ def load_flow_state(checkpoint_path: Path | str, config: TrainFlowConfig):
                            method="init_all")
     template = TrainState.create(apply_fn=model.apply,
                                  params=variables["params"], tx=tx)
+    if Path(checkpoint_path).is_dir():
+        return load_checkpoint_orbax(checkpoint_path, template), model
     return load_checkpoint(checkpoint_path, template), model

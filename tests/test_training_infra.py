@@ -208,3 +208,53 @@ def test_train_flow_resume(tmp_path):
     summary = train_flow(config2, resume=True)
     assert summary["total_steps"] == 2  # resumed from step 3
     assert (tmp_path / "run" / "config_diff.json").exists()
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    from meanflow_audio_codec_tpu.training.checkpoints import (
+        load_checkpoint_orbax,
+        save_checkpoint_orbax,
+    )
+    state = _state()
+    path = save_checkpoint_orbax(state, tmp_path / "step_00003.orbax")
+    assert path.is_dir()
+    restored = load_checkpoint_orbax(path, _state(seed=9))
+    a = jax.tree_util.tree_leaves(state.params)[0]
+    b = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_orbax_format_in_trainer(tmp_path):
+    from meanflow_audio_codec_tpu.training.checkpoints import (
+        find_latest_checkpoint,
+        load_checkpoint_and_resume,
+    )
+    from meanflow_audio_codec_tpu.training.trainer import train_flow
+
+    config = _config(tmp_path / "run")
+    config.training.checkpoint_format = "orbax"
+    train_flow(config)
+    latest = find_latest_checkpoint(tmp_path / "run" / "checkpoints")
+    assert latest is not None and latest.suffix == ".orbax"
+    # a mismatched template must be skipped gracefully, not crash
+    assert load_checkpoint_and_resume(tmp_path / "run" / "checkpoints",
+                                      _state()) is None
+    config2 = _config(tmp_path / "run")
+    config2.training.checkpoint_format = "orbax"
+    config2.base.n_steps = 5
+    summary = train_flow(config2, resume=True)
+    assert summary["total_steps"] == 2
+
+
+def test_orbax_retention_cleanup(tmp_path):
+    from meanflow_audio_codec_tpu.training.checkpoints import (
+        cleanup_old_checkpoints,
+        list_checkpoints,
+        save_checkpoint_with_metadata,
+    )
+    state = _state()
+    for step in (1, 2, 3):
+        save_checkpoint_with_metadata(state, tmp_path, step=step, fmt="orbax")
+    deleted = cleanup_old_checkpoints(tmp_path, max_to_keep=1, final_step=3)
+    assert len(deleted) == 2
+    assert [p.name for p in list_checkpoints(tmp_path)] == ["step_00003.orbax"]
