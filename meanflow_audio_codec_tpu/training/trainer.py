@@ -128,15 +128,25 @@ def make_dataset_iterator(config: TrainFlowConfig) -> Iterator[np.ndarray]:
 
 class TokenAdapter:
     """Tokenize + flatten wrapper used inside the jitted step and for
-    round-tripping samples back to data space."""
+    round-tripping samples back to data space.
 
-    def __init__(self, strategy, mode: str):
+    ``scale`` divides tokens on the way in (and multiplies on the way out)
+    so the flow sees roughly unit-variance data — MDCT coefficients of
+    full-scale audio have std ~4 with sparse peaks near 100x that, which
+    mis-conditions a unit-noise flow. Set via
+    ``tokenization_config["coeff_scale"]`` (default 1.0 = reference parity).
+    """
+
+    def __init__(self, strategy, mode: str, scale: float = 1.0):
         self.strategy = strategy
         self.mode = mode
+        self.scale = float(scale)
         self._token_shape: tuple[int, int] | None = None
 
     def tokenize(self, x: jnp.ndarray) -> jnp.ndarray:
         tokens = self.strategy.tokenize(x)
+        if self.scale != 1.0:
+            tokens = tokens / self.scale
         self._token_shape = (int(tokens.shape[1]), int(tokens.shape[2]))
         if self.mode == "frames":
             return tokens.reshape(-1, tokens.shape[-1])
@@ -149,6 +159,8 @@ class TokenAdapter:
             tokens = flat.reshape(-1, n_tokens, token_dim)
         else:
             tokens = flat.reshape(flat.shape[0], n_tokens, token_dim)
+        if self.scale != 1.0:
+            tokens = tokens * self.scale
         return self.strategy.detokenize(tokens)
 
     @property
@@ -174,7 +186,8 @@ def train_flow(config: TrainFlowConfig, resume: bool = False) -> dict:
     strategy = create_tokenization_strategy(config.tokenization_strategy,
                                             config.tokenization_config)
     mode = resolve_flatten_mode(config)
-    adapter = TokenAdapter(strategy, mode)
+    coeff_scale = (config.tokenization_config or {}).get("coeff_scale", 1.0)
+    adapter = TokenAdapter(strategy, mode, scale=coeff_scale)
     example_shape = input_example_shape(config)
     n_tokens, token_dim = compute_token_shape(strategy, example_shape)
     noise_dim = token_dim if mode == "frames" else n_tokens * token_dim

@@ -54,6 +54,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="audio frame size in samples")
     p.add_argument("--window-size", type=int, default=None,
                    help="MDCT window size")
+    p.add_argument("--coeff-scale", type=float, default=None,
+                   help="divide MDCT tokens by this scale (flow conditioning)")
     return p
 
 
@@ -99,6 +101,8 @@ def config_from_args(args) -> "TrainFlowConfig":
         tok_cfg["frame_size"] = args.frame_size
     if args.window_size is not None:
         tok_cfg["window_size"] = args.window_size
+    if args.coeff_scale is not None:
+        tok_cfg["coeff_scale"] = args.coeff_scale
     if tok_cfg:
         overrides["dataset"]["tokenization_config"] = tok_cfg
     overrides = {k: v for k, v in overrides.items() if v}
