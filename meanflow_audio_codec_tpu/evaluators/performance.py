@@ -11,7 +11,10 @@ from typing import Any, Callable
 import jax
 import numpy as np
 
-from meanflow_audio_codec_tpu.training.profiling import device_memory_stats
+from meanflow_audio_codec_tpu.training.profiling import (
+    device_memory_stats,
+    force_completion,
+)
 
 #: re-exported for reference-API parity
 memory_usage = device_memory_stats
@@ -19,16 +22,17 @@ memory_usage = device_memory_stats
 
 def inference_time(fn: Callable, *args, warmup: int = 5, runs: int = 50,
                    **kwargs) -> dict:
-    """Wall-clock statistics of a device function with warmup and
-    block_until_ready synchronisation (reference performance.py:52-105)."""
+    """Wall-clock statistics of a device function with warmup and forced
+    host-read synchronisation (reference performance.py:52-105;
+    block_until_ready alone under-measures on remote-dispatch backends)."""
     for _ in range(warmup):
         out = fn(*args, **kwargs)
-    jax.block_until_ready(out)
+    force_completion(out)
     times = []
     for _ in range(runs):
         t0 = time.perf_counter()
         out = fn(*args, **kwargs)
-        jax.block_until_ready(out)
+        force_completion(out)
         times.append(time.perf_counter() - t0)
     arr = np.asarray(times)
     return {

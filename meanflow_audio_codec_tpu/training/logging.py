@@ -221,8 +221,10 @@ def plot_samples(samples: np.ndarray, path: Path | str,
 
     samples = np.asarray(samples)
     if samples.ndim == 2:
+        # crop non-square flat data (e.g. MDCT-detokenized images carry
+        # overlap-add padding) to the largest square
         side = int(np.sqrt(samples.shape[1]))
-        samples = samples.reshape(-1, side, side)
+        samples = samples[:, :side * side].reshape(-1, side, side)
     n = samples.shape[0]
     if grid is None:
         cols = int(np.ceil(np.sqrt(n)))

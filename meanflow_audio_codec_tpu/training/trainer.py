@@ -26,7 +26,6 @@ Token layout ("flatten mode"):
 
 from __future__ import annotations
 
-import time
 from pathlib import Path
 from typing import Iterator
 

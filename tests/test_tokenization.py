@@ -116,3 +116,31 @@ def test_pipeline_compose_inverse_order():
     assert isinstance(pipeline, PreprocessingPipeline)
     recon = np.asarray(pipeline.detokenize(pipeline.tokenize(jnp.array(x))))
     np.testing.assert_array_equal(recon, x)
+
+
+def test_mdct_flax_layers_mono_and_stereo():
+    import jax
+    from meanflow_audio_codec_tpu.ops import IMDCTLayer, MDCTLayer
+
+    rng = np.random.default_rng(9)
+    fwd = MDCTLayer(window_size=128, hop_size=64)
+    inv = IMDCTLayer(window_size=128, hop_size=64)
+
+    mono = jnp.asarray(rng.standard_normal((2, 2048)).astype(np.float32))
+    X = fwd.apply({}, mono)
+    assert X.shape[-1] == 128
+    y = inv.apply({}, X)
+    assert y.ndim == 2
+
+    stereo = jnp.asarray(rng.standard_normal((2, 2048, 2)).astype(np.float32))
+    Xs = fwd.apply({}, stereo)
+    assert Xs.shape[-1] == 256  # L block ++ R block
+    ys = inv.apply({}, Xs)
+    assert ys.shape[-1] == 2
+    # channel-major: first 128 coefficients are the left channel
+    Xl = fwd.apply({}, stereo[..., 0])
+    np.testing.assert_allclose(np.asarray(Xs[..., :128]), np.asarray(Xl),
+                               rtol=1e-5, atol=1e-5)
+    # layers are jit-safe
+    out = jax.jit(lambda a: inv.apply({}, fwd.apply({}, a)))(stereo)
+    assert out.shape[-1] == 2
