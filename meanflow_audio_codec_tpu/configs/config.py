@@ -253,6 +253,8 @@ class TPUConfig(Section):
     donate: bool = True
     #: train steps per device call (lax.scan); >1 amortises host dispatch.
     steps_per_call: int = 1
+    #: drop updates whose loss/grads are NaN or inf (in-graph select).
+    skip_nonfinite_updates: bool = False
 
     def validate(self) -> None:
         self._check_choice("precision")

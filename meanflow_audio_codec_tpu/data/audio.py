@@ -116,10 +116,41 @@ def load_audio_files(files: list[Path], prefetch: int = 2,
                      target_rate: int = TARGET_SAMPLE_RATE,
                      loop: bool = True) -> Iterator[np.ndarray]:
     """Threaded prefetch decode. A daemon worker fills a *bounded blocking*
-    queue; decode failures are skipped (reference audio.py:93-132)."""
+    queue; decode failures are skipped (reference audio.py:93-132).
+    ``prefetch=0`` decodes synchronously in the consumer (no worker thread) —
+    the ablation baseline for benchmark_prefetch."""
+    if prefetch <= 0:
+        return _load_audio_files_sync(files, target_rate, loop)
+    return _load_audio_files_threaded(files, prefetch, target_rate, loop)
+
+
+def _load_audio_files_sync(files, target_rate, loop):
+    while True:
+        for path in files:
+            audio = load_audio_file(path, target_rate)
+            if audio is not None:
+                yield audio
+        if not loop:
+            return
+
+
+def _load_audio_files_threaded(files, prefetch, target_rate, loop):
     q: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
     stop = threading.Event()
     _SENTINEL = object()
+
+    def put_checked(item) -> bool:
+        """Blocking put that periodically rechecks stop, so a producer
+        stuck on a full queue exits when the consumer abandons the
+        generator (otherwise each torn-down pipeline leaks the thread
+        and its decoded buffers)."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         while not stop.is_set():
@@ -127,10 +158,10 @@ def load_audio_files(files: list[Path], prefetch: int = 2,
                 if stop.is_set():
                     return
                 audio = load_audio_file(path, target_rate)
-                if audio is not None:
-                    q.put(audio)  # blocks when full: no silent drops
+                if audio is not None and not put_checked(audio):
+                    return
             if not loop:
-                q.put(_SENTINEL)
+                put_checked(_SENTINEL)
                 return
 
     thread = threading.Thread(target=worker, daemon=True)
@@ -143,6 +174,12 @@ def load_audio_files(files: list[Path], prefetch: int = 2,
             yield item
     finally:
         stop.set()
+        # drain so a producer blocked in put() wakes and sees the flag
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
 
 
 def audio_to_frames(stream: Iterator[np.ndarray], frame_size: int,

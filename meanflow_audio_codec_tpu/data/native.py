@@ -9,6 +9,7 @@ back cleanly (``available() -> False``) when no toolchain is present.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import subprocess
 import threading
 from pathlib import Path
@@ -17,15 +18,27 @@ import numpy as np
 
 _NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
 _SOURCE = _NATIVE_DIR / "dataloader.cpp"
-_LIBRARY = _NATIVE_DIR / "libmacloader.so"
 _BUILD_LOCK = threading.Lock()
 _lib: ctypes.CDLL | None = None
 _load_error: str | None = None
 
 
-def _build() -> bool:
-    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-shared",
-           "-pthread", "-o", str(_LIBRARY), str(_SOURCE)]
+def _library_path() -> Path:
+    """Source-content-addressed library name: libmacloader-<sha>.so.
+
+    The library is never committed (gitignored); keying on the source hash
+    guarantees a stale or foreign binary is never dlopened — any source
+    change (or fresh clone) forces a local rebuild. Portable ISA flags only
+    (no -march=native) so a cached build from another host of the same
+    arch family still runs.
+    """
+    digest = hashlib.sha256(_SOURCE.read_bytes()).hexdigest()[:16]
+    return _NATIVE_DIR / f"libmacloader-{digest}.so"
+
+
+def _build(library: Path) -> bool:
+    cmd = ["g++", "-O3", "-std=c++17", "-fPIC", "-shared",
+           "-pthread", "-o", str(library), str(_SOURCE)]
     try:
         result = subprocess.run(cmd, capture_output=True, text=True,
                                 timeout=120)
@@ -46,16 +59,14 @@ def _load() -> ctypes.CDLL | None:
     with _BUILD_LOCK:
         if _lib is not None:
             return _lib
-        if not _LIBRARY.exists() or (_SOURCE.exists() and
-                                     _SOURCE.stat().st_mtime
-                                     > _LIBRARY.stat().st_mtime):
-            if not _SOURCE.exists():
-                _load_error = f"source missing: {_SOURCE}"
-                return None
-            if not _build():
-                return None
+        if not _SOURCE.exists():
+            _load_error = f"source missing: {_SOURCE}"
+            return None
+        library = _library_path()
+        if not library.exists() and not _build(library):
+            return None
         try:
-            lib = ctypes.CDLL(str(_LIBRARY))
+            lib = ctypes.CDLL(str(library))
         except OSError as exc:
             _load_error = f"dlopen failed: {exc}"
             return None

@@ -28,6 +28,7 @@ from meanflow_audio_codec_tpu.evaluators.performance import (
     memory_usage,
 )
 from meanflow_audio_codec_tpu.ops.sampling import sample, sample_dual_time
+from meanflow_audio_codec_tpu.training.profiling import force_completion
 from meanflow_audio_codec_tpu.ops.tokenize import (
     compute_token_shape,
     create_tokenization_strategy,
@@ -89,7 +90,9 @@ class ComprehensiveEvaluator:
             key, sub = jax.random.split(key)
             t0 = time.perf_counter()
             flat = self._sample_flat(latents, nfe, sub)
-            flat.block_until_ready()
+            # block_until_ready returns early on the axon backend; force a
+            # host read (profiling.force_completion doctrine).
+            force_completion(flat)
             first_latency = time.perf_counter() - t0
             timing = inference_time(self._sample_flat, latents, nfe, sub,
                                     warmup=1, runs=5)

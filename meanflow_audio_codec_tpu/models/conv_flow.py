@@ -27,7 +27,19 @@ from meanflow_audio_codec_tpu.ops.embeddings import dual_time_embedding
 
 class ConvStage(nn.Module):
     """One decoder layer: Dense bottleneck -> spatial grid -> FiLM ->
-    ConvNeXt block -> Dense back (reference conv_flow.py:123-205)."""
+    ConvNeXt block -> Dense back (reference conv_flow.py:123-205).
+
+    TPU geometry knobs (no reference counterpart — the reference hardcoded
+    ``isqrt(noise_dim)`` grids and a parameter-quadratic dense lift):
+
+      * ``spatial`` decouples the internal grid side from the token width,
+        so production configs use MXU/lane-aligned grids (32 instead of 33).
+      * ``lift_channels`` factorises the grid lift: Dense emits a *thin*
+        [S, S, c0] grid and a 1x1 conv (position-shared) expands c0 -> C.
+        The dense lift costs bottleneck x S^2 x C params per stage (the
+        single-chip 1.2B wall at C=128); the factorised lift costs
+        bottleneck x S^2 x c0 + c0 x C — ~C/c0 x fewer.
+    """
 
     noise_dimension: int
     condition_dimension: int
@@ -38,22 +50,36 @@ class ConvStage(nn.Module):
     #: The 16-channel cap starves the MXU; production codec configs set this
     #: explicitly (see factories.create_conv_flow(channels=...)).
     channels: int | None = None
+    #: grid side; None -> isqrt(noise_dimension) (reference behavior).
+    spatial: int | None = None
+    #: None -> dense lift (reference); int c0 -> factorised lift via 1x1.
+    lift_channels: int | None = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, condition: jnp.ndarray) -> jnp.ndarray:
-        spatial = math.isqrt(self.noise_dimension)
+        spatial = (self.spatial if self.spatial is not None
+                   else math.isqrt(self.noise_dimension))
         channels = (self.channels if self.channels is not None
                     else min(16, self.condition_dimension // 4))
         residual = x
         h = nn.Dense(self.bottleneck_dim, dtype=self.dtype)(x)
         h = jax.nn.gelu(h, approximate=True)
-        h = nn.Dense(spatial * spatial * channels, dtype=self.dtype)(h)
-        h = h.reshape(h.shape[0], spatial, spatial, channels)
+        if self.lift_channels is not None:
+            c0 = self.lift_channels
+            h = nn.Dense(spatial * spatial * c0, dtype=self.dtype)(h)
+            h = h.reshape(h.shape[0], spatial, spatial, c0)
+            h = nn.Conv(channels, kernel_size=(1, 1), dtype=self.dtype)(h)
+        else:
+            h = nn.Dense(spatial * spatial * channels, dtype=self.dtype)(h)
+            h = h.reshape(h.shape[0], spatial, spatial, channels)
         h = _adaln_norm(h)
         h = FiLM(channels, dtype=self.dtype)(h, condition)
         h = ConvNeXtBlock(dim=channels, use_grn=self.use_grn,
                           dtype=self.dtype)(h)
+        if self.lift_channels is not None:
+            h = nn.Conv(self.lift_channels, kernel_size=(1, 1),
+                        dtype=self.dtype)(h)
         h = h.reshape(residual.shape[0], -1)
         h = nn.Dense(self.bottleneck_dim, dtype=self.dtype)(h)
         h = jax.nn.gelu(h, approximate=True)
@@ -106,6 +132,9 @@ class ConditionalConvFlow(nn.Module):
     num_latent_tokens: int = 32
     channels: int | None = None
     bottleneck_dim: int = 128
+    #: internal grid side / factorised-lift width (see ConvStage docstring).
+    spatial: int | None = None
+    lift_channels: int | None = None
     #: rematerialise each decoder stage in the backward pass (per-block
     #: jax.checkpoint — required for codec-scale batches in HBM).
     remat: bool = False
@@ -121,11 +150,16 @@ class ConditionalConvFlow(nn.Module):
                 use_grn=self.use_grn,
                 channels=self.channels,
                 bottleneck_dim=self.bottleneck_dim,
+                spatial=self.spatial,
+                lift_channels=self.lift_channels,
                 dtype=self.dtype,
             )
             for _ in range(self.num_blocks)
         ]
-        self.latent_proj = nn.Dense(self.condition_dimension, dtype=self.dtype)
+        # no bias: latent_proj(zeros) must equal skipping it, so the CFG
+        # unconditional paths (latents=None vs zero latents) coincide
+        self.latent_proj = nn.Dense(self.condition_dimension, use_bias=False,
+                                    dtype=self.dtype)
         self.encoder = ConvEncoder(
             noise_dimension=self.noise_dimension,
             latent_dimension=self.latent_dimension,

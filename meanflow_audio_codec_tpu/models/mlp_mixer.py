@@ -30,7 +30,15 @@ from meanflow_audio_codec_tpu.ops.embeddings import dual_time_embedding
 
 class MixerStage(nn.Module):
     """One decoder layer: project flat -> token grid -> mixer -> flat,
-    residual / num_blocks (reference mlp_mixer.py:102-163)."""
+    residual / num_blocks (reference mlp_mixer.py:102-163).
+
+    The reference lift is ``Dense(noise_dim -> tokens * channels)`` with
+    ``tokens = isqrt(noise_dim)^2`` — *quadratic* in the flat width (OOM
+    above ~1k-dim features). ``factorized=True`` instead reshapes the flat
+    feature into ``num_tokens`` natural tokens of width noise_dim/tokens and
+    applies per-token Dense lifts — parameter cost linear in noise_dim, the
+    codec-scale configuration.
+    """
 
     noise_dimension: int
     condition_dimension: int
@@ -38,15 +46,33 @@ class MixerStage(nn.Module):
     token_mix_dim: int = 2048
     channel_mix_dim: int = 2048
     num_channels: int = 16
+    #: token count override; None -> isqrt(noise_dim)^2 (reference).
+    num_tokens: int | None = None
+    #: linear-cost lift: reshape to tokens + per-token Dense (see above).
+    factorized: bool = False
     dtype: Any = jnp.float32
+
+    def _token_count(self) -> int:
+        if self.num_tokens is not None:
+            return self.num_tokens
+        spatial = math.isqrt(self.noise_dimension)
+        return spatial * spatial
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, condition: jnp.ndarray) -> jnp.ndarray:
-        spatial = math.isqrt(self.noise_dimension)
-        num_tokens = spatial * spatial
+        num_tokens = self._token_count()
         residual = x
-        h = nn.Dense(num_tokens * self.num_channels, dtype=self.dtype)(x)
-        h = h.reshape(h.shape[0], num_tokens, self.num_channels)
+        if self.factorized:
+            if self.noise_dimension % num_tokens != 0:
+                raise ValueError(
+                    f"factorized MixerStage needs num_tokens ({num_tokens}) "
+                    f"dividing noise_dimension ({self.noise_dimension})")
+            width = self.noise_dimension // num_tokens
+            h = x.reshape(x.shape[0], num_tokens, width)
+            h = nn.Dense(self.num_channels, dtype=self.dtype)(h)
+        else:
+            h = nn.Dense(num_tokens * self.num_channels, dtype=self.dtype)(x)
+            h = h.reshape(h.shape[0], num_tokens, self.num_channels)
         h = MixerBlock(
             token_mix_dim=self.token_mix_dim,
             channel_mix_dim=self.channel_mix_dim,
@@ -55,8 +81,12 @@ class MixerStage(nn.Module):
             condition_dim=self.condition_dimension,
             dtype=self.dtype,
         )(h, condition)
-        h = nn.Dense(self.noise_dimension,
-                     dtype=self.dtype)(h.reshape(residual.shape[0], -1))
+        if self.factorized:
+            h = nn.Dense(width, dtype=self.dtype)(h)
+            h = h.reshape(residual.shape[0], -1)
+        else:
+            h = nn.Dense(self.noise_dimension,
+                         dtype=self.dtype)(h.reshape(residual.shape[0], -1))
         return h / self.num_blocks + residual
 
 
@@ -154,6 +184,9 @@ class ConditionalMLPMixerFlow(nn.Module):
     num_latent_tokens: int = 32
     #: encoder context/mixing sizes, kept modest: the encoder is one block.
     encoder_context_tokens: int = 64
+    #: stage geometry (see MixerStage): linear-cost lifts for wide features.
+    stage_tokens: int | None = None
+    factorized_stages: bool = False
     dtype: Any = jnp.float32
 
     def setup(self) -> None:
@@ -165,11 +198,16 @@ class ConditionalMLPMixerFlow(nn.Module):
                 token_mix_dim=self.token_mix_dim,
                 channel_mix_dim=self.channel_mix_dim,
                 num_channels=self.num_channels,
+                num_tokens=self.stage_tokens,
+                factorized=self.factorized_stages,
                 dtype=self.dtype,
             )
             for _ in range(self.num_blocks)
         ]
-        self.latent_proj = nn.Dense(self.condition_dimension, dtype=self.dtype)
+        # no bias: latent_proj(zeros) must equal skipping it, so the CFG
+        # unconditional paths (latents=None vs zero latents) coincide
+        self.latent_proj = nn.Dense(self.condition_dimension, use_bias=False,
+                                    dtype=self.dtype)
         self.encoder = MLPMixerEncoder(
             input_dim=self.noise_dimension,
             num_latent_tokens=self.num_latent_tokens,

@@ -55,7 +55,10 @@ class SimpleConvFlow(nn.Module):
 
     def setup(self) -> None:
         c = self.base_channels
-        self.latent_proj = nn.Dense(self.condition_dimension, dtype=self.dtype)
+        # no bias: latent_proj(zeros) must equal skipping it, so the CFG
+        # unconditional paths (latents=None vs zero latents) coincide
+        self.latent_proj = nn.Dense(self.condition_dimension, use_bias=False,
+                                    dtype=self.dtype)
         self.encoder_head = nn.Dense(self.latent_dimension, dtype=self.dtype)
         self.down1 = SimpleConvBlock(c, dtype=self.dtype)
         self.down2 = SimpleConvBlock(2 * c, dtype=self.dtype)

@@ -45,6 +45,41 @@ PRINCEN_BRADLEY_OFFSET = 0.5
 IMDCT_SCALING_FACTOR = 2.0
 
 
+@functools.lru_cache(maxsize=None)
+def _backend_supports_complex(backend_name: str) -> bool:
+    """Probe whether the default backend can execute complex64 ops.
+
+    The axon TPU backend rejects complex dtypes, so the FFT MDCT path
+    (complex twiddles) must not auto-route there.  The probe runs one tiny
+    eager complex multiply; it is cached per backend name so it executes at
+    most once per process (and is an independent eager dispatch even when
+    called while tracing).
+    """
+    del backend_name  # cache key only
+    try:
+        z = jnp.asarray([1.0 + 0.0j], dtype=jnp.complex64)
+        jax.block_until_ready(jnp.fft.fft(z * z))
+        return True
+    except Exception:
+        return False
+
+
+def _use_fft_path(window_size: int, threshold: int) -> bool:
+    """FFT route only when W >= threshold AND the backend supports complex."""
+    if window_size < threshold:
+        return False
+    if _backend_supports_complex(jax.default_backend()):
+        return True
+    import warnings
+
+    warnings.warn(
+        f"MDCT window {window_size} >= fft threshold {threshold} but backend "
+        f"'{jax.default_backend()}' lacks complex64 support; falling back to "
+        "the direct matmul path (identical coefficients, O(W^2) per frame).",
+        RuntimeWarning, stacklevel=3)
+    return False
+
+
 @dataclass(frozen=True)
 class MDCTConfig:
     """Static MDCT parameters; frozen so it can be a jit static argument.
@@ -308,9 +343,9 @@ def mdct(x: jnp.ndarray, window_size: int = DEFAULT_WINDOW_SIZE,
         raise ValueError("Input must have at least 1 dimension")
     window_size, hop, threshold, _ = _resolve(config, window_size, hop_size,
                                               use_fft_threshold)
-    if window_size < threshold:
-        return _mdct_direct(x, window_size, hop)
-    return _mdct_fft(x, window_size, hop)
+    if _use_fft_path(window_size, threshold):
+        return _mdct_fft(x, window_size, hop)
+    return _mdct_direct(x, window_size, hop)
 
 
 def imdct(X: jnp.ndarray, window_size: int = DEFAULT_WINDOW_SIZE,
@@ -325,9 +360,9 @@ def imdct(X: jnp.ndarray, window_size: int = DEFAULT_WINDOW_SIZE,
         )
     window_size, hop, threshold, normalize = _resolve(
         config, window_size, hop_size, use_fft_threshold)
-    if window_size < threshold:
-        return _imdct_direct(X, window_size, hop, normalize)
-    return _imdct_fft(X, window_size, hop, normalize)
+    if _use_fft_path(window_size, threshold):
+        return _imdct_fft(X, window_size, hop, normalize)
+    return _imdct_direct(X, window_size, hop, normalize)
 
 
 # Explicit-path aliases for benchmarking / parity with the reference API.

@@ -66,18 +66,32 @@ _TP_MIN_PARAM_SIZE = 16384
 
 
 def param_partition_spec(path: tuple, leaf, model_size: int) -> P:
-    """Tensor-parallel rule: column-partition large Dense kernels.
+    """Tensor-parallel rule for large kernels (Megatron-style pairing).
 
-    A 2-d kernel whose output (last) axis divides the model-axis size and
-    whose element count clears the threshold is sharded
-    ``P(None, 'model')``; everything else (biases, scales, small kernels)
-    replicates. XLA inserts the all-gather where a partitioned output feeds
-    a replicated consumer.
+    * 2-d Dense kernels: partition the *larger* contraction-side axis —
+      a lift ``[bneck, S*S*C]`` column-shards (``P(None, 'model')``) and its
+      paired projection ``[S*S*C, bneck]`` row-shards (``P('model', None)``),
+      so the wide activation between them stays partitioned and XLA emits
+      one reduce at the pair's end instead of an all-gather per matmul.
+      This covers the ConvStage dense lifts and the Mixer mix kernels —
+      the tensors that make ch=128 convnets and >1k-dim mixers
+      single-chip param-bound.
+    * 4-d conv kernels ``[kh, kw, cin, cout]``: shard the output-channel
+      axis; XLA gathers where a partitioned activation meets a spatial op.
+    * everything else (biases, scales, small kernels) replicates.
     """
     shape = np.shape(leaf)
-    if (len(shape) == 2 and np.size(leaf) >= _TP_MIN_PARAM_SIZE
-            and shape[-1] % model_size == 0):
-        return P(None, MODEL_AXIS)
+    if np.size(leaf) < _TP_MIN_PARAM_SIZE:
+        return P()
+    if len(shape) == 2:
+        rows, cols = shape
+        if cols >= rows and cols % model_size == 0:
+            return P(None, MODEL_AXIS)
+        if rows > cols and rows % model_size == 0:
+            return P(MODEL_AXIS, None)
+        return P()
+    if len(shape) == 4 and shape[-1] % model_size == 0:
+        return P(None, None, None, MODEL_AXIS)
     return P()
 
 

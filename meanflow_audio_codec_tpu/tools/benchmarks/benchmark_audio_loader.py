@@ -63,7 +63,7 @@ def main(argv: list[str] | None = None) -> int:
             make_corpus(data_dir)
         for prefetch in (0, 2, 4):
             stats = bench(data_dir, args.frame_size, args.batch_size,
-                          max(1, prefetch), args.warmup, args.timed)
+                          prefetch, args.warmup, args.timed)
             print(f"prefetch={prefetch}: first batch "
                   f"{stats['first_batch_sec']*1e3:7.1f} ms | "
                   f"{stats['batches_per_sec']:7.2f} batches/s | "

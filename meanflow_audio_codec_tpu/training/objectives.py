@@ -33,9 +33,12 @@ import jax
 import jax.numpy as jnp
 
 from meanflow_audio_codec_tpu.ops.losses import (
-    adaptive_weighted_loss,
+    adaptive_weighted_per_example,
+    apply_loss_weighting,
     mse_loss,
+    mse_per_example,
     weighted_l2_loss,
+    weighted_l2_per_example,
 )
 from meanflow_audio_codec_tpu.ops.schedules import (
     LinearNoiseSchedule,
@@ -109,6 +112,8 @@ class FlowMatchingObjective(Objective):
     noise_schedule: Any = field(default_factory=LinearNoiseSchedule)
     time_sampling: Any = field(default_factory=LogitNormalTimeSampling)
     use_weighted_loss: bool = True
+    #: 'uniform' | 'time_dependent' | 'learned' (see ops.losses)
+    loss_weighting: str = "uniform"
 
     def loss(self, params, apply_fn, key, x):
         k_noise, k_time = jax.random.split(key)
@@ -119,8 +124,11 @@ class FlowMatchingObjective(Objective):
         variables = {"params": params}
         latents = apply_fn(variables, x, method="encode")
         pred = apply_fn(variables, noised, _time_pair(t), latents)
-        loss_fn = weighted_l2_loss if self.use_weighted_loss else mse_loss
-        return loss_fn(pred, target), {"mse": mse_loss(pred, target)}
+        per_fn = (weighted_l2_per_example if self.use_weighted_loss
+                  else mse_per_example)
+        loss = apply_loss_weighting(per_fn(pred, target), t,
+                                    self.loss_weighting, params)
+        return loss, {"mse": mse_loss(pred, target)}
 
 
 @dataclass(frozen=True)
@@ -139,6 +147,8 @@ class MeanFlowObjective(Objective):
     c: float = 1e-3
     #: ablation knob: detach du/dt in the target (True = paper setting).
     use_stop_gradient: bool = True
+    #: 'uniform' | 'time_dependent' | 'learned' (see ops.losses)
+    loss_weighting: str = "uniform"
 
     def loss(self, params, apply_fn, key, x):
         k_noise, k_tr = jax.random.split(key)
@@ -160,7 +170,8 @@ class MeanFlowObjective(Objective):
                      else dudt)
         u_target = v - jnp.clip(t - r, 0.0, 1.0) * dudt_term
         err = u - u_target
-        loss = adaptive_weighted_loss(err, gamma=self.gamma, c=self.c)
+        per = adaptive_weighted_per_example(err, gamma=self.gamma, c=self.c)
+        loss = apply_loss_weighting(per, t, self.loss_weighting, params)
         return loss, {"mse": mse_loss(u, u_target)}
 
 
@@ -176,6 +187,8 @@ class ImprovedMeanFlowObjective(Objective):
     use_weighted_loss: bool = True
     #: ablation knob: detach du/dt in the compound prediction.
     use_stop_gradient: bool = True
+    #: 'uniform' | 'time_dependent' | 'learned' (see ops.losses)
+    loss_weighting: str = "uniform"
 
     def loss(self, params, apply_fn, key, x):
         k_noise, k_tr = jax.random.split(key)
@@ -199,8 +212,11 @@ class ImprovedMeanFlowObjective(Objective):
         dudt_term = (jax.lax.stop_gradient(dudt) if self.use_stop_gradient
                      else dudt)
         v_pred = u + (t - r) * dudt_term
-        loss_fn = weighted_l2_loss if self.use_weighted_loss else mse_loss
-        return loss_fn(v_pred, target), {"mse": mse_loss(v_pred, target)}
+        per_fn = (weighted_l2_per_example if self.use_weighted_loss
+                  else mse_per_example)
+        loss = apply_loss_weighting(per_fn(v_pred, target), t,
+                                    self.loss_weighting, params)
+        return loss, {"mse": mse_loss(v_pred, target)}
 
 
 # Backward-compatible aliases matching the reference class names.
@@ -267,12 +283,15 @@ def create_loss_strategy(config: Any) -> Objective:
                    else MeanFlowTimeSampling(mean=mean, std=std,
                                              data_proportion=proportion))
 
+    weighting = getattr(config, "loss_weighting", None) or "uniform"
+
     if name == "autoencoder":
         return AutoencoderObjective(use_weighted_loss=False)
     if name == "flow_matching":
         return FlowMatchingObjective(noise_schedule=noise_schedule,
                                      time_sampling=time_sampling,
-                                     use_weighted_loss=use_weighted)
+                                     use_weighted_loss=use_weighted,
+                                     loss_weighting=weighting)
     stop_grad = (config.use_stop_gradient
                  if config.use_stop_gradient is not None else True)
     if name == "mean_flow":
@@ -281,12 +300,14 @@ def create_loss_strategy(config: Any) -> Objective:
             gamma=config.gamma if config.gamma is not None else 0.5,
             c=config.c if config.c is not None else 1e-3,
             use_stop_gradient=stop_grad,
+            loss_weighting=weighting,
         )
     if name == "improved_mean_flow":
         return ImprovedMeanFlowObjective(noise_schedule=noise_schedule,
                                          time_sampling=mf_sampling,
                                          use_weighted_loss=use_weighted,
-                                         use_stop_gradient=stop_grad)
+                                         use_stop_gradient=stop_grad,
+                                         loss_weighting=weighting)
     raise ValueError(
         f"Unknown loss_strategy: {name}. Must be one of: "
         "'autoencoder', 'flow_matching', 'mean_flow', 'improved_mean_flow'"

@@ -17,16 +17,31 @@ from __future__ import annotations
 from typing import Any, Callable
 
 import jax
+import jax.numpy as jnp
 import optax
 
 from meanflow_audio_codec_tpu.training.objectives import Objective
+
+
+def _guard_nonfinite(state, new_state, loss, grad_norm):
+    """Keep the old state when loss/grads are non-finite (in-graph select).
+
+    Returns ``(guarded_state, ok)``; ok is a traced bool for the metrics.
+    One divergent microbatch then costs a skipped step instead of poisoning
+    the parameters for the rest of a long-budget run.
+    """
+    ok = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+    guarded = jax.tree_util.tree_map(
+        lambda new, old: jnp.where(ok, new, old), new_state, state)
+    return guarded, ok
 
 
 def make_train_step(objective: Objective,
                     tokenizer: Any | None = None,
                     flatten: bool = True,
                     donate: bool = True,
-                    remat: bool = False) -> Callable:
+                    remat: bool = False,
+                    skip_nonfinite: bool = False) -> Callable:
     """Build the jitted ``(state, key, batch) -> (state, metrics)`` step.
 
     Args:
@@ -37,6 +52,8 @@ def make_train_step(objective: Objective,
         donate: donate the state argument (in-place HBM update).
         remat: rematerialise the loss computation in the backward pass
             (trades ~1/3 more FLOPs for activation memory on big decoders).
+        skip_nonfinite: drop (do not apply) updates whose loss or gradient
+            norm is NaN/inf; metrics gain an ``update_ok`` flag.
     """
 
     def step(state, key, batch):
@@ -53,8 +70,13 @@ def make_train_step(objective: Objective,
             loss_fn = jax.checkpoint(loss_fn)
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
+        grad_norm = optax.global_norm(grads)
         new_state = state.apply_gradients(grads=grads)
-        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads), **aux}
+        metrics = {"loss": loss, "grad_norm": grad_norm, **aux}
+        if skip_nonfinite:
+            new_state, ok = _guard_nonfinite(state, new_state, loss,
+                                             grad_norm)
+            metrics["update_ok"] = ok
         return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
@@ -62,7 +84,8 @@ def make_train_step(objective: Objective,
 
 def make_multi_step(objective: Objective, num_steps: int,
                     tokenizer: Any | None = None, flatten: bool = True,
-                    donate: bool = True, remat: bool = False) -> Callable:
+                    donate: bool = True, remat: bool = False,
+                    skip_nonfinite: bool = False) -> Callable:
     """K train steps per device call via ``lax.scan``.
 
     One compiled program advances the state ``num_steps`` times over a
@@ -87,8 +110,13 @@ def make_multi_step(objective: Objective, num_steps: int,
         inner = jax.checkpoint(loss_fn) if remat else loss_fn
         (loss, aux), grads = jax.value_and_grad(inner, has_aux=True)(
             state.params)
+        grad_norm = optax.global_norm(grads)
         new_state = state.apply_gradients(grads=grads)
-        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads), **aux}
+        metrics = {"loss": loss, "grad_norm": grad_norm, **aux}
+        if skip_nonfinite:
+            new_state, ok = _guard_nonfinite(state, new_state, loss,
+                                             grad_norm)
+            metrics["update_ok"] = ok
         return (new_state, key), metrics
 
     def run(state, key, batches):

@@ -217,6 +217,16 @@ def train_flow(config: TrainFlowConfig, resume: bool = False) -> dict:
     variables = jax.jit(
         lambda k: model.init(k, dummy_x, dummy_t, method="init_all")
     )(init_key)
+    if (config.loss_weighting or "uniform") == "learned":
+        # learned time-weighting trains a small log-variance polynomial
+        # jointly with the model (ops.losses.learned_weight_terms)
+        from meanflow_audio_codec_tpu.ops.losses import (
+            LEARNED_WEIGHT_KEY,
+            init_learned_weight_params,
+        )
+        variables = dict(variables)
+        variables["params"] = dict(variables["params"])
+        variables["params"][LEARNED_WEIGHT_KEY] = init_learned_weight_params()
     ema_decay = config.training.ema_decay
     # EMA starts as a *copy* of params (sharing buffers would double-donate)
     ema_init = (jax.tree_util.tree_map(jnp.array, variables["params"])
@@ -266,10 +276,12 @@ def train_flow(config: TrainFlowConfig, resume: bool = False) -> dict:
         )
         step_fn = make_multi_step(objective, steps_per_call,
                                   tokenizer=adapter, flatten=True,
-                                  donate=True, remat=config.tpu.remat)
+                                  donate=True, remat=config.tpu.remat,
+                                  skip_nonfinite=config.tpu.skip_nonfinite_updates)
     else:
         step_fn = make_train_step(objective, tokenizer=adapter, flatten=True,
-                                  donate=True, remat=config.tpu.remat)
+                                  donate=True, remat=config.tpu.remat,
+                                  skip_nonfinite=config.tpu.skip_nonfinite_updates)
 
     def to_device(batch, stacked: bool = False):
         arr = jnp.asarray(batch)

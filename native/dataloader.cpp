@@ -66,6 +66,11 @@ bool decode_wav(const char* path, WavData* out) {
     fclose(f);
     return false;
   }
+  // Hard caps against malformed / hostile size fields: a fmt chunk needs
+  // only 16 bytes (we allow extensions up to 4 KiB); the data chunk is
+  // capped at 1 GiB so a corrupt header cannot demand a 4 GiB allocation.
+  constexpr uint32_t kMaxFmtChunk = 4096;
+  constexpr uint32_t kMaxDataChunk = 1u << 30;
   uint16_t format = 0, channels = 0, bits = 0;
   uint32_t rate = 0;
   bool have_fmt = false;
@@ -74,20 +79,28 @@ bool decode_wav(const char* path, WavData* out) {
   while (read_exact(f, chunk, 8)) {
     uint32_t size = le32(chunk + 4);
     if (!memcmp(chunk, "fmt ", 4)) {
+      if (size < 16 || size > kMaxFmtChunk) break;  // need all 16 base bytes
       std::vector<unsigned char> fmt(size);
       if (!read_exact(f, fmt.data(), size)) break;
+      if ((size & 1) && fseek(f, 1, SEEK_CUR) != 0) break;  // RIFF pad byte
       format = le16(fmt.data());
       channels = le16(fmt.data() + 2);
       rate = le32(fmt.data() + 4);
       bits = le16(fmt.data() + 14);
+      if (bits != 8 && bits != 16 && bits != 24 && bits != 32) break;
+      if (channels == 0) break;
       have_fmt = true;
     } else if (!memcmp(chunk, "data", 4) && have_fmt) {
+      if (size == 0 || size > kMaxDataChunk) break;
       std::vector<unsigned char> raw(size);
       if (!read_exact(f, raw.data(), size)) break;
-      size_t bytes_per = bits / 8;
+      size_t bytes_per = bits / 8;  // bits validated above, never 0
       size_t count = size / bytes_per;
       out->samples.resize(count);
-      if (format == 1 && bits == 16) {
+      if (format == 1 && bits == 8) {  // unsigned 8-bit PCM
+        for (size_t i = 0; i < count; ++i)
+          out->samples[i] = (float(raw[i]) - 128.0f) / 128.0f;
+      } else if (format == 1 && bits == 16) {
         for (size_t i = 0; i < count; ++i) {
           int16_t v;
           memcpy(&v, raw.data() + i * 2, 2);
@@ -106,7 +119,8 @@ bool decode_wav(const char* path, WavData* out) {
           out->samples[i] = float(v) / 2147483648.0f;
         }
       } else if (format == 3 && bits == 32) {  // IEEE float
-        memcpy(out->samples.data(), raw.data(), size);
+        memcpy(out->samples.data(), raw.data(), count * 4);  // not `size`:
+        // a truncated data chunk may not be a multiple of 4 bytes
       } else {
         break;
       }
@@ -141,7 +155,8 @@ struct Loader {
   std::condition_variable space_cv;    // producers wait: reservoir full
   std::atomic<size_t> next_file{0};
   std::atomic<bool> stop{false};
-  std::atomic<bool> exhausted{false};  // one-pass mode: producers done
+  std::atomic<bool> exhausted{false};  // one-pass mode: ALL producers done
+  std::atomic<int> active_producers{0};
   std::atomic<uint64_t> frames_produced{0};
   std::atomic<uint64_t> files_skipped{0};
   std::vector<std::thread> workers;
@@ -155,7 +170,7 @@ struct Loader {
         if (!loop) break;
         idx %= files.size();  // wrap; next_file keeps growing, benign
       }
-      if (stop.load()) return;
+      if (stop.load()) { producer_done(); return; }
       WavData wav;
       if (!decode_wav(files[idx % files.size()].c_str(), &wav) ||
           wav.sample_rate != target_rate) {
@@ -184,16 +199,24 @@ struct Loader {
         space_cv.wait(lock, [&] {
           return stop.load() || reservoir.size() < buffer_capacity;
         });
-        if (stop.load()) return;
+        if (stop.load()) { lock.unlock(); producer_done(); return; }
         reservoir.push_back(std::move(frame));
         frames_produced.fetch_add(1);
         ready_cv.notify_one();
       }
     }
-    // one-pass end: last worker flags exhaustion
-    std::lock_guard<std::mutex> lock(mu);
-    exhausted.store(true);
-    ready_cv.notify_all();
+    producer_done();
+  }
+
+  // One-pass end: exhaustion is flagged only when the LAST producer
+  // finishes — an early-finishing thread must not starve consumers of the
+  // frames its siblings are still decoding.
+  void producer_done() {
+    if (active_producers.fetch_sub(1) == 1) {
+      std::lock_guard<std::mutex> lock(mu);
+      exhausted.store(true);
+      ready_cv.notify_all();
+    }
   }
 
   // Fills out[batch, frame_size, channels]; returns frames delivered.
@@ -247,6 +270,7 @@ void* mac_loader_create(const char** paths, int n_files, int frame_size,
   loader->loop = loop != 0;
   loader->consumer_rng.seed(seed ^ 0x9e3779b97f4a7c15ULL);
   const int threads = n_threads > 0 ? n_threads : 1;
+  loader->active_producers.store(threads);
   for (int t = 0; t < threads; ++t)
     loader->workers.emplace_back(&Loader::producer, loader, seed + t + 1);
   return loader;

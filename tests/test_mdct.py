@@ -169,3 +169,30 @@ def test_invalid_inputs():
         mdct(jnp.float32(1.0))
     with pytest.raises(ValueError):
         imdct(jnp.ones((8,)), 4)
+
+
+def test_fft_route_guarded_on_complex_free_backend(monkeypatch):
+    """When the backend lacks complex64 (axon TPU), W >= threshold must fall
+    back to the direct matmul path with a warning instead of crashing."""
+    import sys
+    import warnings
+    # ops/__init__ rebinds the `mdct` attribute to the function; fetch the
+    # module itself for monkeypatching
+    m = sys.modules["meanflow_audio_codec_tpu.ops.mdct"]
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(4096),
+                    dtype=jnp.float32)
+    monkeypatch.setattr(m, "_backend_supports_complex", lambda name: False)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        guarded = m.mdct(x, window_size=512, use_fft_threshold=512)
+    assert any(issubclass(w.category, RuntimeWarning) for w in caught)
+    direct = m.mdct_direct(x, window_size=512)
+    np.testing.assert_allclose(np.asarray(guarded), np.asarray(direct),
+                               rtol=1e-5, atol=1e-5)
+
+    # with complex support the FFT path is used and matches the direct path
+    monkeypatch.setattr(m, "_backend_supports_complex", lambda name: True)
+    via_fft = m.mdct(x, window_size=512, use_fft_threshold=512)
+    np.testing.assert_allclose(np.asarray(via_fft), np.asarray(direct),
+                               rtol=1e-4, atol=1e-3)

@@ -68,6 +68,11 @@ def test_native_loader_skips_wrong_rate(tmp_path):
                                       frame_size=16384, batch_size=2,
                                       n_threads=1, seed=0)
     next(loader)
+    # loop mode cycles the file list; poll until the bad file is reached
+    import time
+    deadline = time.monotonic() + 10.0
+    while loader.files_skipped < 1 and time.monotonic() < deadline:
+        next(loader)
     assert loader.files_skipped >= 1
     loader.close()
 
@@ -82,3 +87,65 @@ def test_pipeline_auto_selects_native(corpus):
                                        native=False, loop=False)
     batch_py = next(py_pipeline)
     assert batch_py.shape == (4, 8192, 2)
+
+
+def test_one_pass_multithreaded_delivers_all_frames(corpus):
+    """One-pass mode with several producers must not terminate early when
+    the first thread finishes its share (exhaustion = ALL producers done).
+    batch_size=1 so no frames are dropped in a final partial batch."""
+    files = sorted(corpus.glob("*.wav"))
+    delivered = 0
+    loader = native.NativeAudioLoader(files, frame_size=16384, batch_size=1,
+                                      buffer_frames=64, n_threads=3,
+                                      loop=False, seed=3)
+    for _ in loader:
+        delivered += 1
+    # 4 files x ceil((offset + 44100)/16384) in {3, 4} frames each
+    assert delivered == loader.frames_produced
+    assert delivered >= 12
+    loader.close()
+
+
+def test_malformed_wav_rejected_not_crash(tmp_path):
+    """Truncated fmt chunks, invalid bit depths and hostile size fields must
+    be rejected cleanly (no SIGFPE / OOB read / giant allocation)."""
+    import struct
+
+    def riff(body: bytes) -> bytes:
+        return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+    cases = {
+        # fmt chunk only 12 bytes: bits field would be read out of bounds
+        "short_fmt.wav": riff(
+            b"fmt " + struct.pack("<I", 12) + b"\x01\x00\x02\x00" +
+            struct.pack("<I", 44100) + struct.pack("<I", 176400) +
+            b"data" + struct.pack("<I", 4) + b"\x00" * 4),
+        # bits_per_sample = 0: divide-by-zero without validation
+        "zero_bits.wav": riff(
+            b"fmt " + struct.pack("<I", 16) + b"\x01\x00\x02\x00" +
+            struct.pack("<I", 44100) + struct.pack("<I", 0) +
+            b"\x04\x00\x00\x00" +
+            b"data" + struct.pack("<I", 4) + b"\x00" * 4),
+        # data chunk claims 3 GiB: must be capped, not allocated
+        "huge_data.wav": riff(
+            b"fmt " + struct.pack("<I", 16) + b"\x01\x00\x02\x00" +
+            struct.pack("<I", 44100) + struct.pack("<I", 176400) +
+            b"\x04\x00\x10\x00" +
+            b"data" + struct.pack("<I", 3 << 30) + b"\x00" * 16),
+        "truncated.wav": b"RIFF\x08\x00\x00\x00WAVE",
+    }
+    for name, payload in cases.items():
+        (tmp_path / name).write_bytes(payload)
+        assert native.decode_wav_native(tmp_path / name) is None, name
+
+    # the loader skips them and still serves the one good file
+    rng = np.random.default_rng(5)
+    write_wav(tmp_path / "good.wav",
+              rng.uniform(-0.5, 0.5, (44100, 2)).astype(np.float32))
+    loader = native.NativeAudioLoader(sorted(tmp_path.glob("*.wav")),
+                                      frame_size=16384, batch_size=2,
+                                      n_threads=2, seed=0)
+    batch = next(loader)
+    assert batch.shape == (2, 16384, 2)
+    assert loader.files_skipped >= len(cases)
+    loader.close()

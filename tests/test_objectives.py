@@ -191,3 +191,91 @@ def test_create_loss_strategy_mapping():
         noise_schedule="uniform", time_sampling="mean_flow",
         time_sampling_data_proportion=0.75))
     assert imf.time_sampling.data_proportion == 0.75
+
+
+# ---- loss_weighting (uniform / time_dependent / learned) ---------------------
+
+@pytest.mark.parametrize("cls,kwargs", [
+    (FlowMatchingObjective, {}),
+    (MeanFlowObjective, {}),
+    (ImprovedMeanFlowObjective, {}),
+])
+def test_loss_weighting_settings_differ(cls, kwargs):
+    """The three loss_weighting settings produce different losses on a
+    fixed batch (the knob is live, unlike the reference's inert config)."""
+    from meanflow_audio_codec_tpu.ops.losses import LEARNED_WEIGHT_KEY
+
+    state = _tiny_state()
+    x = _data()
+    key = jax.random.PRNGKey(7)
+
+    def run(weighting, params):
+        obj = cls(loss_weighting=weighting, **kwargs)
+        loss, _ = obj.loss(params, state.apply_fn, key, x)
+        return float(loss)
+
+    uniform = run("uniform", state.params)
+    time_dep = run("time_dependent", state.params)
+    # learned with a non-zero polynomial (zero-init equals uniform by design)
+    learned_params = dict(state.params)
+    learned_params[LEARNED_WEIGHT_KEY] = {
+        "poly": jnp.asarray([0.1, 0.4, -0.3])}
+    learned = run("learned", learned_params)
+
+    assert uniform != pytest.approx(time_dep, rel=1e-6)
+    assert uniform != pytest.approx(learned, rel=1e-6)
+    assert np.isfinite([uniform, time_dep, learned]).all()
+
+
+def test_learned_weighting_trains_polynomial():
+    """The log-variance polynomial receives gradients (it is learned)."""
+    from meanflow_audio_codec_tpu.ops.losses import LEARNED_WEIGHT_KEY
+
+    state = _tiny_state()
+    x = _data()
+    params = dict(state.params)
+    params[LEARNED_WEIGHT_KEY] = {"poly": jnp.zeros((3,))}
+    obj = ImprovedMeanFlowObjective(loss_weighting="learned")
+
+    def loss_fn(p):
+        loss, _ = obj.loss(p, state.apply_fn, jax.random.PRNGKey(0), x)
+        return loss
+
+    grads = jax.grad(loss_fn)(params)
+    assert float(jnp.abs(grads[LEARNED_WEIGHT_KEY]["poly"]).sum()) > 0
+
+
+def test_learned_weighting_requires_params():
+    state = _tiny_state()
+    obj = FlowMatchingObjective(loss_weighting="learned")
+    with pytest.raises(ValueError, match="learned"):
+        obj.loss(state.params, state.apply_fn, jax.random.PRNGKey(0), _data())
+
+
+def test_create_loss_strategy_passes_loss_weighting():
+    obj = create_loss_strategy(_config(loss_weighting="time_dependent"))
+    assert obj.loss_weighting == "time_dependent"
+
+
+# ---- NaN/inf update guard -----------------------------------------------------
+
+def test_skip_nonfinite_updates():
+    """A NaN batch is skipped (params unchanged); a finite one applies."""
+    state = _tiny_state()
+    step = make_train_step(ImprovedMeanFlowObjective(), donate=False,
+                           skip_nonfinite=True)
+    bad = _data().at[0, 0].set(jnp.nan)
+    new_state, metrics = step(state, jax.random.PRNGKey(0), bad)
+    assert not bool(metrics["update_ok"])
+    leaves_before = jax.tree_util.tree_leaves(state.params)
+    leaves_after = jax.tree_util.tree_leaves(new_state.params)
+    for a, b in zip(leaves_before, leaves_after):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    good_state, metrics = step(state, jax.random.PRNGKey(0), _data())
+    assert bool(metrics["update_ok"])
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(good_state.params)))
+    assert changed

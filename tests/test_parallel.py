@@ -116,3 +116,87 @@ def test_tp_step_runs_and_matches():
     _, sharded = step(sharded_state, key, sharded_batch)
     np.testing.assert_allclose(float(single["loss"]), float(sharded["loss"]),
                                rtol=5e-4)
+
+
+def test_tp_conv_flow_ch128_class_matches_replicated():
+    """A ch=128-class conv config (4-d conv kernels + row/col-paired dense
+    lifts) trains sharded over model=2 with the same loss as replicated.
+    Tiny dims, same geometry class as the production config."""
+    from meanflow_audio_codec_tpu.models import ConditionalConvFlow
+
+    model = ConditionalConvFlow(
+        noise_dimension=64, condition_dimension=16, num_blocks=2,
+        latent_dimension=16, channels=128, bottleneck_dim=32,
+        spatial=8, lift_channels=16)
+    state = _state(model)
+    mesh = create_mesh(data=4, model=2)
+    shardings = state_shardings(state, mesh)
+    flat = jax.tree_util.tree_leaves_with_path(shardings.params)
+    conv_partitioned = [s for _, s in flat
+                        if isinstance(s, NamedSharding)
+                        and s.spec == P(None, None, None, "model")]
+    row_partitioned = [s for _, s in flat
+                       if isinstance(s, NamedSharding)
+                       and s.spec == P("model", None)]
+    assert conv_partitioned, "no 4-d conv kernel was tensor-partitioned"
+    assert row_partitioned, "no dense projection was row-partitioned"
+
+    objective = ImprovedMeanFlowObjective()
+    step = make_train_step(objective, donate=False)
+    key = jax.random.PRNGKey(5)
+    batch = jax.random.normal(jax.random.PRNGKey(6), (8, 64))
+    _, single = step(state, key, batch)
+    sharded_state = shard_state(state, mesh)
+    _, sharded = step(sharded_state, key,
+                      jax.device_put(batch, batch_sharding(mesh)))
+    np.testing.assert_allclose(float(single["loss"]), float(sharded["loss"]),
+                               rtol=5e-4)
+
+
+def test_tp_factorized_mixer_2k_matches_replicated():
+    """A 2k-dim factorised mixer stage (the width that OOMs the reference's
+    quadratic lift) trains sharded over model=2, loss matching replicated."""
+    model = ConditionalMLPMixerFlow(
+        noise_dimension=2048, condition_dimension=16, num_blocks=1,
+        latent_dimension=16, token_mix_dim=256, channel_mix_dim=256,
+        num_channels=64, num_latent_tokens=4, encoder_context_tokens=8,
+        stage_tokens=32, factorized_stages=True)
+    state = _state(model)
+    # factorised: parameter count stays linear in the flat width
+    n_params = sum(int(np.size(p))
+                   for p in jax.tree_util.tree_leaves(state.params))
+    assert n_params < 5_000_000, f"factorised stage too big: {n_params:,}"
+
+    mesh = create_mesh(data=4, model=2)
+    objective = ImprovedMeanFlowObjective()
+    step = make_train_step(objective, donate=False)
+    key = jax.random.PRNGKey(7)
+    batch = jax.random.normal(jax.random.PRNGKey(8), (8, 2048))
+    _, single = step(state, key, batch)
+    sharded_state = shard_state(state, mesh)
+    _, sharded = step(sharded_state, key,
+                      jax.device_put(batch, batch_sharding(mesh)))
+    np.testing.assert_allclose(float(single["loss"]), float(sharded["loss"]),
+                               rtol=5e-4)
+
+
+def test_factorized_mixer_param_scaling():
+    """Factorised stages scale linearly with width; dense stages do not."""
+    def params_at(width, factorized):
+        kwargs = dict(stage_tokens=32, factorized_stages=True) if factorized \
+            else {}
+        model = ConditionalMLPMixerFlow(
+            noise_dimension=width, condition_dimension=16, num_blocks=1,
+            latent_dimension=16, token_mix_dim=64, channel_mix_dim=64,
+            num_channels=16, num_latent_tokens=4, encoder_context_tokens=8,
+            **kwargs)
+        variables = model.init(jax.random.PRNGKey(0), jnp.ones((2, width)),
+                               jnp.zeros((2, 2)), method="init_all")
+        return sum(int(np.size(p))
+                   for p in jax.tree_util.tree_leaves(variables["params"]))
+
+    fact_1k, fact_2k = params_at(1024, True), params_at(2048, True)
+    dense_1k, dense_2k = params_at(1024, False), params_at(2048, False)
+    assert fact_2k < 2.5 * fact_1k          # ~linear growth
+    assert dense_2k > 3.0 * dense_1k        # quadratic growth
+    assert fact_2k < dense_2k / 10          # order-of-magnitude smaller
