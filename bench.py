@@ -105,11 +105,20 @@ def bench_train_steps() -> dict:
     )
     from meanflow_audio_codec_tpu.training.train_step import make_multi_step
 
-    noise_dim, batch, scan_k = 1152, 512, 8
+    # Geometry chosen by measurement (tools/benchmarks/benchmark_conv_mfu):
+    # 16x16 grid at 256 lane-aligned channels, factorised lift (c0=32),
+    # 1024-wide bottleneck, batch 2048 with dots-saveable per-stage remat
+    # (recompute is elementwise-only so remat costs ~no MXU FLOPs). The
+    # M-starvation study (documentation/performance.md) showed Dense pairs
+    # run 26% of peak at M=512 vs 57% at M=2048 on this chip.
+    noise_dim, batch, scan_k = 1152, 2048, 2
     model = ConditionalConvFlow(noise_dimension=noise_dim,
                                 condition_dimension=256, num_blocks=8,
-                                latent_dimension=256, channels=64,
-                                bottleneck_dim=512, dtype=jnp.bfloat16)
+                                latent_dimension=256, channels=256,
+                                bottleneck_dim=1024, spatial=16,
+                                lift_channels=32, remat=True,
+                                remat_policy="dots_saveable",
+                                dtype=jnp.bfloat16)
     x0 = jnp.zeros((batch, noise_dim))
     variables = jax.jit(lambda k: model.init(
         k, x0, jnp.zeros((batch, 2)), method="init_all"))(jax.random.PRNGKey(0))
@@ -117,9 +126,13 @@ def bench_train_steps() -> dict:
                               params=variables["params"],
                               tx=optax.adamw(1e-4))
     objective = ImprovedMeanFlowObjective()
+    # MFU numerator = model FLOPs (non-remat program); remat recompute
+    # earns no credit.
+    flops_state = state.replace(apply_fn=model.clone(remat=False).apply)
     single = make_train_step(objective, donate=False)
     probe = jax.random.normal(jax.random.PRNGKey(1), (batch, noise_dim))
-    flops = estimate_step_flops(single, state, jax.random.PRNGKey(2), probe)
+    flops = estimate_step_flops(single, flops_state, jax.random.PRNGKey(2),
+                                probe)
 
     step = make_multi_step(objective, scan_k, donate=True)
     batches = jax.random.normal(jax.random.PRNGKey(3),

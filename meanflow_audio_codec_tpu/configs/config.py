@@ -130,6 +130,12 @@ class ModelConfig(Section):
     latent_dimension: int
     num_blocks: int
     architecture: str | None = None
+    #: family-specific sizing passed through to the model builder, e.g.
+    #: convnet {"channels", "bottleneck_dim", "spatial", "lift_channels",
+    #: "remat"} or mixer {"num_channels", "stage_tokens",
+    #: "factorized_stages"}. No reference counterpart (its factory took
+    #: no sizing at all).
+    architecture_options: dict | None = None
 
     def validate(self) -> None:
         self._check_positive(
@@ -140,6 +146,11 @@ class ModelConfig(Section):
                 f"condition_dimension must be even, got {self.condition_dimension}"
             )
         self._check_choice("architecture")
+        if (self.architecture_options is not None
+                and not isinstance(self.architecture_options, dict)):
+            raise ValueError(
+                "architecture_options must be a dict, got "
+                f"{type(self.architecture_options).__name__}")
 
 
 @dataclass

@@ -58,8 +58,13 @@ class ComprehensiveEvaluator:
         self.noise_dim = config.noise_dimension
         strategy = create_tokenization_strategy(config.tokenization_strategy,
                                                 config.tokenization_config)
+        # same token scaling as training — a mismatched coeff_scale feeds
+        # the encoder out-of-distribution inputs and mis-gains the decode
+        coeff_scale = (config.tokenization_config or {}).get(
+            "coeff_scale", 1.0)
         self.adapter = TokenAdapter(strategy,
-                                    resolve_flatten_mode(config))
+                                    resolve_flatten_mode(config),
+                                    scale=coeff_scale)
         self.token_shape = compute_token_shape(
             strategy, input_example_shape(config))
         self.param_info = count_parameters(self.state.params)
@@ -68,9 +73,15 @@ class ComprehensiveEvaluator:
             or config.use_improved_mean_flow)
 
     # ---- generation ----------------------------------------------------------
+    @property
+    def eval_params(self):
+        """EMA params when the run tracked them, else the live params."""
+        ema = getattr(self.state, "ema_params", None)
+        return ema if ema is not None else self.state.params
+
     def _sample_flat(self, latents, nfe: int, key) -> jnp.ndarray:
         sampler = sample_dual_time if self._is_mean_flow else sample
-        return sampler(self.state.apply_fn, self.noise_dim, self.state.params,
+        return sampler(self.state.apply_fn, self.noise_dim, self.eval_params,
                        key, latents, n_steps=nfe)
 
     def evaluate(self, real_data: np.ndarray) -> dict:
@@ -82,7 +93,7 @@ class ComprehensiveEvaluator:
         }
         data = np.asarray(real_data[:self.num_samples])
         x_tokens = self.adapter.tokenize(jnp.asarray(data))
-        latents = self.state.apply_fn({"params": self.state.params},
+        latents = self.state.apply_fn({"params": self.eval_params},
                                       x_tokens, method="encode")
         key = jax.random.PRNGKey(self.seed)
 

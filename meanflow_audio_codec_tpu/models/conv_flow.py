@@ -138,10 +138,19 @@ class ConditionalConvFlow(nn.Module):
     #: rematerialise each decoder stage in the backward pass (per-block
     #: jax.checkpoint — required for codec-scale batches in HBM).
     remat: bool = False
+    #: jax.checkpoint_policies name, e.g. "dots_saveable": save matmul/conv
+    #: outputs and recompute only the cheap elementwise chain, so remat
+    #: costs ~zero extra MXU FLOPs. None = recompute everything.
+    remat_policy: str | None = None
     dtype: Any = jnp.float32
 
     def setup(self) -> None:
-        stage_cls = nn.remat(ConvStage) if self.remat else ConvStage
+        if self.remat:
+            policy = (getattr(jax.checkpoint_policies, self.remat_policy)
+                      if self.remat_policy else None)
+            stage_cls = nn.remat(ConvStage, policy=policy)
+        else:
+            stage_cls = ConvStage
         self.blocks = [
             stage_cls(
                 noise_dimension=self.noise_dimension,

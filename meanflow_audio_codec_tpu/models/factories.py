@@ -47,6 +47,9 @@ def create_conv_flow(noise_dimension: int, latent_dimension: int,
                      image_size: int = 28, use_grn: bool = True,
                      channels: int | None = None,
                      bottleneck_dim: int = 128,
+                     spatial: int | None = None,
+                     lift_channels: int | None = None,
+                     remat: bool = False,
                      dtype=jnp.float32) -> ConditionalConvFlow:
     return ConditionalConvFlow(
         noise_dimension=noise_dimension,
@@ -57,6 +60,9 @@ def create_conv_flow(noise_dimension: int, latent_dimension: int,
         use_grn=use_grn,
         channels=channels,
         bottleneck_dim=bottleneck_dim,
+        spatial=spatial,
+        lift_channels=lift_channels,
+        remat=remat,
         dtype=dtype,
     )
 
@@ -67,6 +73,9 @@ def create_mlp_mixer_flow(noise_dimension: int, latent_dimension: int,
                           channel_mix_dim: int = 2048,
                           num_channels: int = 16,
                           num_latent_tokens: int = 32,
+                          stage_tokens: int | None = None,
+                          factorized_stages: bool = False,
+                          encoder_context_tokens: int = 64,
                           dtype=jnp.float32) -> ConditionalMLPMixerFlow:
     return ConditionalMLPMixerFlow(
         noise_dimension=noise_dimension,
@@ -77,6 +86,9 @@ def create_mlp_mixer_flow(noise_dimension: int, latent_dimension: int,
         channel_mix_dim=channel_mix_dim,
         num_channels=num_channels,
         num_latent_tokens=num_latent_tokens,
+        stage_tokens=stage_tokens,
+        factorized_stages=factorized_stages,
+        encoder_context_tokens=encoder_context_tokens,
         dtype=dtype,
     )
 
@@ -102,7 +114,15 @@ _BUILDERS = {
 
 
 def create_flow_model(config: Any, dtype=None):
-    """Build the flow model named by ``config.architecture`` (default mlp)."""
+    """Build the flow model named by ``config.architecture`` (default mlp).
+
+    ``config.model.architecture_options`` (a dict) passes family-specific
+    sizing straight to the builder — e.g. convnet
+    ``{"channels": 128, "bottleneck_dim": 512, "spatial": 32,
+    "lift_channels": 16}`` or mixer ``{"num_channels": 64,
+    "factorized_stages": true, "stage_tokens": 32}``. The reference had no
+    such surface (its convnet factory crashed on the one kwarg it tried).
+    """
     architecture = config.architecture or "mlp"
     if dtype is None:
         dtype = compute_dtype_for(config)
@@ -113,9 +133,10 @@ def create_flow_model(config: Any, dtype=None):
         condition_dimension=config.condition_dimension,
         dtype=dtype,
     )
+    common.update(getattr(config.model, "architecture_options", None) or {})
     if architecture == "convnet":
-        image_size = int(config.noise_dimension ** 0.5)
-        return create_conv_flow(image_size=image_size, **common)
+        common.setdefault("image_size", int(config.noise_dimension ** 0.5))
+        return create_conv_flow(**common)
     builder = _BUILDERS.get(architecture)
     if builder is None:
         raise ValueError(

@@ -103,6 +103,46 @@ CONFIGS = {
     "ch128_s16_dense_b4096": dict(channels=128, bottleneck_dim=512,
                                   spatial=16, batch=4096, scan_k=1,
                                   remat=True),
+    # no-remat large-batch s16 variants (small grids may fit raw)
+    "ch256_s16_lift32_b1024": dict(channels=256, bottleneck_dim=512,
+                                   spatial=16, lift_channels=32,
+                                   batch=1024, scan_k=4),
+    "ch128_s16_dense_b2048": dict(channels=128, bottleneck_dim=512,
+                                  spatial=16, batch=2048, scan_k=2),
+    # dots-saveable remat: recompute only elementwise, keep MXU credit
+    "ch256_s16_lift32_b2048_dots": dict(channels=256, bottleneck_dim=512,
+                                        spatial=16, lift_channels=32,
+                                        batch=2048, scan_k=2, remat=True,
+                                        remat_policy="dots_saveable"),
+    "ch128_s32_lift16_b2048_dots": dict(channels=128, bottleneck_dim=512,
+                                        spatial=32, lift_channels=16,
+                                        batch=2048, scan_k=2, remat=True,
+                                        remat_policy="dots_saveable"),
+    # wider channels / smaller grid: conv + 1x1 contractions at K=N>=512
+    "ch512_s8_lift64_b2048_dots": dict(channels=512, bottleneck_dim=512,
+                                       spatial=8, lift_channels=64,
+                                       batch=2048, scan_k=2, remat=True,
+                                       remat_policy="dots_saveable"),
+    "ch256_s16_lift32_b4096_dots": dict(channels=256, bottleneck_dim=512,
+                                        spatial=16, lift_channels=32,
+                                        batch=4096, scan_k=1, remat=True,
+                                        remat_policy="dots_saveable"),
+    # wider bottleneck: bigger-K lift matmuls raise the efficient-FLOP share
+    "ch256_s16_lift32_bn1024_b2048_dots": dict(
+        channels=256, bottleneck_dim=1024, spatial=16, lift_channels=32,
+        batch=2048, scan_k=2, remat=True, remat_policy="dots_saveable"),
+    "ch384_s16_lift48_b2048_dots": dict(
+        channels=384, bottleneck_dim=512, spatial=16, lift_channels=48,
+        batch=2048, scan_k=2, remat=True, remat_policy="dots_saveable"),
+    "ch256_s16_lift32_bn2048_b2048_dots": dict(
+        channels=256, bottleneck_dim=2048, spatial=16, lift_channels=32,
+        batch=2048, scan_k=2, remat=True, remat_policy="dots_saveable"),
+    "ch256_s16_lift64_bn1024_b2048_dots": dict(
+        channels=256, bottleneck_dim=1024, spatial=16, lift_channels=64,
+        batch=2048, scan_k=2, remat=True, remat_policy="dots_saveable"),
+    "ch256_s16_lift32_bn1024_b3072_dots": dict(
+        channels=256, bottleneck_dim=1024, spatial=16, lift_channels=32,
+        batch=3072, scan_k=1, remat=True, remat_policy="dots_saveable"),
 }
 
 

@@ -446,8 +446,26 @@ def load_flow_state(checkpoint_path: Path | str, config: TrainFlowConfig):
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((2, noise_dim)), jnp.zeros((2, 2)),
                            method="init_all")
-    template = TrainState.create(apply_fn=model.apply,
-                                 params=variables["params"], tx=tx)
-    if Path(checkpoint_path).is_dir():
-        return load_checkpoint_orbax(checkpoint_path, template), model
-    return load_checkpoint(checkpoint_path, template), model
+    if (config.loss_weighting or "uniform") == "learned":
+        # match the training-time param tree (learned weighting slot)
+        from meanflow_audio_codec_tpu.ops.losses import (
+            LEARNED_WEIGHT_KEY,
+            init_learned_weight_params,
+        )
+        variables = dict(variables)
+        variables["params"] = dict(variables["params"])
+        variables["params"][LEARNED_WEIGHT_KEY] = init_learned_weight_params()
+    loader = (load_checkpoint_orbax if Path(checkpoint_path).is_dir()
+              else load_checkpoint)
+    # runs trained with --ema-decay store an EMA copy; try that template
+    # first so evaluators can sample from the EMA weights
+    ema_template = TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"], tx=tx,
+        ema_params=jax.tree_util.tree_map(jnp.array, variables["params"]))
+    try:
+        return loader(checkpoint_path, ema_template), model
+    except Exception:
+        template = TrainState.create(apply_fn=model.apply,
+                                     params=variables["params"], tx=tx)
+        return loader(checkpoint_path, template), model

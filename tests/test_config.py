@@ -234,3 +234,40 @@ def test_tpu_section_defaults_and_roundtrip(tmp_path):
     assert loaded.tpu.precision == "mixed"
     merged = merge_configs(config, {"tpu": {"precision": "float32"}})
     assert merged.tpu.precision == "float32"
+
+
+def test_architecture_options_flow_through_factory_and_json():
+    """model.architecture_options passes family-specific sizing to the
+    builder and survives the JSON round trip."""
+    import json
+    import tempfile
+    from pathlib import Path
+
+    from meanflow_audio_codec_tpu.configs import (
+        create_audio_config,
+        load_config_from_json,
+    )
+    from meanflow_audio_codec_tpu.models.factories import create_flow_model
+
+    cfg = create_audio_config(**{"model": {
+        "architecture": "convnet",
+        "architecture_options": {"channels": 32, "bottleneck_dim": 64,
+                                 "spatial": 8, "lift_channels": 4},
+        "noise_dimension": 64, "condition_dimension": 16,
+        "latent_dimension": 16, "num_blocks": 2}})
+    model = create_flow_model(cfg)
+    assert (model.channels, model.bottleneck_dim, model.spatial,
+            model.lift_channels) == (32, 64, 8, 4)
+
+    path = Path(tempfile.mkdtemp()) / "c.json"
+    path.write_text(json.dumps(cfg.to_dict()))
+    cfg2 = load_config_from_json(path)
+    assert cfg2.model.architecture_options == {
+        "channels": 32, "bottleneck_dim": 64, "spatial": 8,
+        "lift_channels": 4}
+
+    with pytest.raises(ValueError, match="architecture_options"):
+        create_audio_config(**{"model": {
+            "architecture_options": "not-a-dict",
+            "noise_dimension": 64, "condition_dimension": 16,
+            "latent_dimension": 16, "num_blocks": 2}})

@@ -258,3 +258,66 @@ def test_orbax_retention_cleanup(tmp_path):
     deleted = cleanup_old_checkpoints(tmp_path, max_to_keep=1, final_step=3)
     assert len(deleted) == 2
     assert [p.name for p in list_checkpoints(tmp_path)] == ["step_00003.orbax"]
+
+
+def test_load_flow_state_restores_ema_and_prefers_it():
+    """Checkpoints from EMA-tracking runs restore ema_params; the
+    comprehensive evaluator samples from them."""
+    import numpy as np
+    import optax
+    from meanflow_audio_codec_tpu.configs import create_mnist_config
+    from meanflow_audio_codec_tpu.models import TrainState
+    from meanflow_audio_codec_tpu.models.factories import create_flow_model
+    from meanflow_audio_codec_tpu.training.checkpoints import save_checkpoint
+    from meanflow_audio_codec_tpu.training.trainer import load_flow_state
+
+    cfg = create_mnist_config(**{
+        "model": {"noise_dimension": 16, "condition_dimension": 8,
+                  "latent_dimension": 8, "num_blocks": 1},
+        "training": {"sample_every": 1, "sample_seed": 0, "sample_steps": 1,
+                     "workdir": "/tmp/ema_load_test", "ema_decay": 0.99},
+    })
+    model = create_flow_model(cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 16)),
+                           jnp.zeros((2, 2)), method="init_all")
+    ema = jax.tree_util.tree_map(lambda p: p + 1.0, variables["params"])
+    state = TrainState.create(apply_fn=model.apply,
+                              params=variables["params"],
+                              tx=optax.adamw(cfg.base_lr, weight_decay=cfg.weight_decay),
+                              ema_params=ema)
+    path = Path("/tmp/ema_load_test_ckpt.msgpack")
+    save_checkpoint(state, path)
+
+    restored, _ = load_flow_state(path, cfg)
+    assert restored.ema_params is not None
+    p0 = jax.tree_util.tree_leaves(restored.params)[0]
+    e0 = jax.tree_util.tree_leaves(restored.ema_params)[0]
+    np.testing.assert_allclose(np.asarray(e0), np.asarray(p0) + 1.0,
+                               rtol=1e-6)
+
+
+def test_load_flow_state_without_ema_falls_back():
+    """Checkpoints from runs without EMA still load (plain template)."""
+    import optax
+    from meanflow_audio_codec_tpu.configs import create_mnist_config
+    from meanflow_audio_codec_tpu.models import TrainState
+    from meanflow_audio_codec_tpu.models.factories import create_flow_model
+    from meanflow_audio_codec_tpu.training.checkpoints import save_checkpoint
+    from meanflow_audio_codec_tpu.training.trainer import load_flow_state
+
+    cfg = create_mnist_config(**{
+        "model": {"noise_dimension": 16, "condition_dimension": 8,
+                  "latent_dimension": 8, "num_blocks": 1},
+        "training": {"sample_every": 1, "sample_seed": 0, "sample_steps": 1,
+                     "workdir": "/tmp/noema_load_test"},
+    })
+    model = create_flow_model(cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 16)),
+                           jnp.zeros((2, 2)), method="init_all")
+    state = TrainState.create(apply_fn=model.apply,
+                              params=variables["params"],
+                              tx=optax.adamw(cfg.base_lr, weight_decay=cfg.weight_decay))
+    path = Path("/tmp/noema_load_test_ckpt.msgpack")
+    save_checkpoint(state, path)
+    restored, _ = load_flow_state(path, cfg)
+    assert int(restored.step) == 0

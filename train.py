@@ -10,6 +10,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 from pathlib import Path
 
@@ -56,6 +57,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="MDCT window size")
     p.add_argument("--coeff-scale", type=float, default=None,
                    help="divide MDCT tokens by this scale (flow conditioning)")
+    p.add_argument("--architecture-options", type=str, default=None,
+                   help='JSON dict of family-specific sizing, e.g. '
+                        '\'{"channels": 128, "bottleneck_dim": 512}\'')
+    p.add_argument("--skip-nonfinite", action="store_true",
+                   help="drop NaN/inf updates in-graph (long-run insurance)")
+    p.add_argument("--steps-per-call", type=int, default=None,
+                   help="train steps per device call (lax.scan chunking)")
     return p
 
 
@@ -77,7 +85,10 @@ def config_from_args(args) -> "TrainFlowConfig":
                   "noise_dimension": args.noise_dimension,
                   "condition_dimension": args.condition_dimension,
                   "latent_dimension": args.latent_dimension,
-                  "num_blocks": args.num_blocks},
+                  "num_blocks": args.num_blocks,
+                  "architecture_options": (
+                      json.loads(args.architecture_options)
+                      if args.architecture_options else None)},
         "dataset": {"data_dir": args.data_dir,
                     "tokenization_strategy": args.tokenization},
         "method": {"method": args.method, "gamma": args.gamma},
@@ -88,7 +99,9 @@ def config_from_args(args) -> "TrainFlowConfig":
                      "checkpoint_step": args.checkpoint_step,
                      "max_checkpoints_to_keep": args.max_checkpoints_to_keep,
                      "ema_decay": args.ema_decay},
-        "tpu": {"precision": args.precision},
+        "tpu": {"precision": args.precision,
+                "skip_nonfinite_updates": args.skip_nonfinite or None,
+                "steps_per_call": args.steps_per_call},
     }
     for section, kv in maps.items():
         for key, value in kv.items():
