@@ -115,10 +115,18 @@ class BaseConfig(Section):
     base_lr: float
     weight_decay: float
     seed: int
+    #: global-norm gradient clip (None disables) — stabilises bf16 mean-flow
+    #: JVP training, which occasionally spikes (no reference counterpart).
+    grad_clip_norm: float | None = None
+    #: linear LR warmup steps (0 disables).
+    warmup_steps: int = 0
 
     def validate(self) -> None:
         self._check_positive("batch_size", "n_steps", "base_lr")
-        self._check_nonnegative("weight_decay")
+        self._check_nonnegative("weight_decay", "warmup_steps")
+        if self.grad_clip_norm is not None and self.grad_clip_norm <= 0:
+            raise ValueError(
+                f"grad_clip_norm must be positive, got {self.grad_clip_norm}")
 
 
 @dataclass

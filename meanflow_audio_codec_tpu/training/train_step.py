@@ -24,13 +24,20 @@ from meanflow_audio_codec_tpu.training.objectives import Objective
 
 
 def _guard_nonfinite(state, new_state, loss, grad_norm):
-    """Keep the old state when loss/grads are non-finite (in-graph select).
+    """Keep the old state when the update is non-finite (in-graph select).
+
+    Checks loss, gradient norm AND the updated parameters: a finite but
+    enormous gradient (e.g. 1e20) passes an isfinite(grads) test yet
+    overflows the Adam second moment (1e40 -> inf), turning the update into
+    inf/inf = NaN — observed in bf16 mean-flow JVP training. The parameter
+    sweep costs one extra pass over the weights.
 
     Returns ``(guarded_state, ok)``; ok is a traced bool for the metrics.
-    One divergent microbatch then costs a skipped step instead of poisoning
-    the parameters for the rest of a long-budget run.
     """
-    ok = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+    params_ok = jnp.array(True)
+    for leaf in jax.tree_util.tree_leaves(new_state.params):
+        params_ok &= jnp.all(jnp.isfinite(leaf))
+    ok = jnp.isfinite(loss) & jnp.isfinite(grad_norm) & params_ok
     guarded = jax.tree_util.tree_map(
         lambda new, old: jnp.where(ok, new, old), new_state, state)
     return guarded, ok

@@ -172,6 +172,24 @@ class TokenAdapter:
 # ============================================================================
 
 
+def make_optimizer(config: TrainFlowConfig):
+    """AdamW with optional global-norm clipping and linear warmup.
+
+    Checkpoint templates (load_flow_state) must build the identical chain —
+    the optax state tree structure is part of the on-disk format.
+    """
+    lr = config.base_lr
+    warmup = getattr(config.base, "warmup_steps", 0) or 0
+    if warmup:
+        lr = optax.linear_schedule(init_value=0.0, end_value=config.base_lr,
+                                   transition_steps=warmup)
+    opt = optax.adamw(lr, weight_decay=config.weight_decay)
+    clip = getattr(config.base, "grad_clip_norm", None)
+    if clip:
+        return optax.chain(optax.clip_by_global_norm(clip), opt)
+    return opt
+
+
 def train_flow(config: TrainFlowConfig, resume: bool = False) -> dict:
     """Train a flow model per config; returns the run summary dict."""
     workdir = Path(config.workdir)
@@ -209,7 +227,7 @@ def train_flow(config: TrainFlowConfig, resume: bool = False) -> dict:
 
     # ---- model / optimizer / state -----------------------------------------
     model = create_flow_model(config)
-    tx = optax.adamw(config.base_lr, weight_decay=config.weight_decay)
+    tx = make_optimizer(config)
     rng = jax.random.PRNGKey(config.seed)
     rng, init_key = jax.random.split(rng)
     dummy_x = jnp.zeros((2, noise_dim), dtype=jnp.float32)
@@ -381,7 +399,8 @@ def train_flow(config: TrainFlowConfig, resume: bool = False) -> dict:
         for i in range(k):
             loss = float(series["loss"][i])
             mse = float(series["mse"][i]) if "mse" in series else None
-            loss_ema = ema(loss_ema, loss)
+            if np.isfinite(loss):  # a skipped NaN step must not poison the EMA
+                loss_ema = ema(loss_ema, loss)
             log.write_step(step + i, loss=loss, loss_avg=loss_ema, mse=mse,
                            lr=config.base_lr, step_time=per_step_time,
                            **{name: value for name, value in record.items()
@@ -442,7 +461,7 @@ def load_flow_state(checkpoint_path: Path | str, config: TrainFlowConfig):
     if noise_dim != config.noise_dimension:
         config.model.noise_dimension = noise_dim
     model = create_flow_model(config)
-    tx = optax.adamw(config.base_lr, weight_decay=config.weight_decay)
+    tx = make_optimizer(config)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((2, noise_dim)), jnp.zeros((2, 2)),
                            method="init_all")

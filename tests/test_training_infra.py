@@ -321,3 +321,52 @@ def test_load_flow_state_without_ema_falls_back():
     save_checkpoint(state, path)
     restored, _ = load_flow_state(path, cfg)
     assert int(restored.step) == 0
+
+
+def test_grad_clip_and_warmup_optimizer():
+    """grad_clip_norm bounds the update scale; warmup ramps the LR; the
+    checkpoint template (load_flow_state) matches the trained state tree."""
+    import optax
+    from meanflow_audio_codec_tpu.configs import create_mnist_config
+    from meanflow_audio_codec_tpu.models import TrainState
+    from meanflow_audio_codec_tpu.models.factories import create_flow_model
+    from meanflow_audio_codec_tpu.training.checkpoints import save_checkpoint
+    from meanflow_audio_codec_tpu.training.trainer import (
+        load_flow_state,
+        make_optimizer,
+    )
+
+    cfg = create_mnist_config(**{
+        "base": {"batch_size": 4, "n_steps": 2, "base_lr": 1e-3,
+                 "weight_decay": 0.0, "seed": 0, "grad_clip_norm": 1e-8,
+                 "warmup_steps": 10},
+        "model": {"noise_dimension": 16, "condition_dimension": 8,
+                  "latent_dimension": 8, "num_blocks": 1},
+        "training": {"sample_every": 1, "sample_seed": 0, "sample_steps": 1,
+                     "workdir": "/tmp/clip_test"},
+    })
+    model = create_flow_model(cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 16)),
+                           jnp.zeros((2, 2)), method="init_all")
+    state = TrainState.create(apply_fn=model.apply,
+                              params=variables["params"],
+                              tx=make_optimizer(cfg))
+    x = jnp.ones((4, 16))
+
+    def loss_fn(p):
+        out = model.apply({"params": p}, x, jnp.zeros((4, 2)))
+        return jnp.mean(jnp.square(out - x))
+
+    grads = jax.grad(loss_fn)(state.params)
+    new_state = state.apply_gradients(grads=grads)
+    # clip 1e-8 + warmup lr ~0 at step 0 => essentially no movement
+    delta = max(float(jnp.abs(a - b).max()) for a, b in zip(
+        jax.tree_util.tree_leaves(state.params),
+        jax.tree_util.tree_leaves(new_state.params)))
+    assert delta < 1e-6
+
+    # checkpoint template rebuilds the same optimizer tree
+    path = Path("/tmp/clip_test_ckpt.msgpack")
+    save_checkpoint(new_state, path)
+    restored, _ = load_flow_state(path, cfg)
+    assert int(restored.step) == 1

@@ -60,6 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--architecture-options", type=str, default=None,
                    help='JSON dict of family-specific sizing, e.g. '
                         '\'{"channels": 128, "bottleneck_dim": 512}\'')
+    p.add_argument("--grad-clip-norm", type=float, default=None,
+                   help="global-norm gradient clipping (stabilises bf16 JVP)")
+    p.add_argument("--warmup-steps", type=int, default=None,
+                   help="linear LR warmup steps")
     p.add_argument("--skip-nonfinite", action="store_true",
                    help="drop NaN/inf updates in-graph (long-run insurance)")
     p.add_argument("--steps-per-call", type=int, default=None,
@@ -80,7 +84,8 @@ def config_from_args(args) -> "TrainFlowConfig":
     maps = {
         "base": {"batch_size": args.batch_size, "n_steps": args.n_steps,
                  "base_lr": args.base_lr, "weight_decay": args.weight_decay,
-                 "seed": args.seed},
+                 "seed": args.seed, "grad_clip_norm": args.grad_clip_norm,
+                 "warmup_steps": args.warmup_steps},
         "model": {"architecture": args.architecture,
                   "noise_dimension": args.noise_dimension,
                   "condition_dimension": args.condition_dimension,
