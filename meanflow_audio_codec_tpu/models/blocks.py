@@ -125,8 +125,11 @@ class GlobalResponseNormalization(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         spatial_axes = tuple(range(1, x.ndim - 1))
+        # epsilon INSIDE the sqrt: sqrt'(0) is inf, so a channel that dies
+        # to exact zeros (GELU saturation) turns the mean-flow JVP tangent
+        # into inf * 0 = NaN. Observed on tonal audio batches.
         gx = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)),
-                              axis=spatial_axes, keepdims=True))
+                              axis=spatial_axes, keepdims=True) + 1e-12)
         nx = gx / (jnp.mean(gx, axis=-1, keepdims=True) + self.epsilon)
         channels = x.shape[-1]
         gamma = self.param("gamma", nn.initializers.zeros, (channels,))

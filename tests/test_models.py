@@ -182,3 +182,24 @@ def test_train_state_ema():
     e1 = jax.tree_util.tree_leaves(new_state.ema_params)[0]
     np.testing.assert_allclose(np.asarray(e1), 0.5 * np.asarray(p0)
                                + 0.5 * np.asarray(p1), rtol=1e-6)
+
+
+def test_grn_jvp_finite_on_dead_channels():
+    """sqrt'(0) is inf: a channel of exact zeros (GELU saturation) must not
+    turn the mean-flow JVP tangent into NaN (observed on tonal audio)."""
+    from meanflow_audio_codec_tpu.models.blocks import (
+        GlobalResponseNormalization,
+    )
+
+    grn = GlobalResponseNormalization()
+    x = jnp.zeros((2, 4, 4, 8))
+    x = x.at[:, :, :, :4].set(1.0)  # half the channels alive, half dead
+    variables = grn.init(jax.random.PRNGKey(0), x)
+
+    def f(z):
+        return grn.apply(variables, z)
+
+    tangent = jnp.ones_like(x)
+    out, jvp_out = jax.jvp(f, (x,), (tangent,))
+    assert bool(jnp.isfinite(out).all())
+    assert bool(jnp.isfinite(jvp_out).all())
