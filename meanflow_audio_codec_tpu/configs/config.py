@@ -194,6 +194,9 @@ class MethodConfig(Section):
     time_sampling_mean: float | None = None
     time_sampling_std: float | None = None
     time_sampling_data_proportion: float | None = None
+    #: fraction of each batch forced to the exact (t=1, r=0) pair — the
+    #: query a 1-NFE decode evaluates (ops/time_sampling.sample_tr)
+    time_sampling_full_proportion: float | None = None
     use_weighted_loss: bool | None = None
 
     def validate(self) -> None:
@@ -215,6 +218,18 @@ class MethodConfig(Section):
             raise ValueError(
                 "time_sampling_data_proportion must be in [0, 1], "
                 f"got {self.time_sampling_data_proportion}"
+            )
+        if self.time_sampling_full_proportion is not None and not (
+                0 <= self.time_sampling_full_proportion <= 1):
+            raise ValueError(
+                "time_sampling_full_proportion must be in [0, 1], "
+                f"got {self.time_sampling_full_proportion}"
+            )
+        if ((self.time_sampling_data_proportion or 0)
+                + (self.time_sampling_full_proportion or 0)) > 1:
+            raise ValueError(
+                "time_sampling_data_proportion + time_sampling_full_proportion"
+                " must not exceed 1"
             )
         if self.method == "improved_mean_flow" and not self.use_improved_mean_flow:
             raise ValueError(
@@ -483,7 +498,8 @@ _V1_SECTION_KEYS: dict[str, tuple[str, ...]] = {
                "use_stop_gradient", "loss_weighting", "loss_strategy",
                "noise_schedule", "noise_min", "noise_max", "time_sampling",
                "time_sampling_mean", "time_sampling_std",
-               "time_sampling_data_proportion", "use_weighted_loss"),
+               "time_sampling_data_proportion",
+               "time_sampling_full_proportion", "use_weighted_loss"),
     "training": ("sample_every", "sample_seed", "sample_steps", "workdir",
                  "checkpoint_step", "max_checkpoints_to_keep",
                  "checkpoint_format", "ema_decay", "sample_guidance_scale"),

@@ -10,6 +10,8 @@ from meanflow_audio_codec_tpu.data.audio import (
     glob_audio_files,
     load_audio_file,
     load_audio_files,
+    prefetch_batches,
+    replay_pool_batches,
     synthetic_audio_pipeline,
     write_wav,
 )

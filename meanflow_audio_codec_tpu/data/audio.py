@@ -274,25 +274,133 @@ def synthetic_audio_pipeline(seed: int = 0,
                              sample_rate: int = TARGET_SAMPLE_RATE
                              ) -> Iterator[np.ndarray]:
     """Deterministic stereo mixtures (harmonics + AM noise) shaped exactly
-    like the real pipeline output [B, frame_size, 2]."""
-    rng = np.random.default_rng(seed)
-    t = np.arange(frame_size, dtype=np.float32) / sample_rate
+    like the real pipeline output [B, frame_size, 2].
 
-    def make_frame(rng):
-        freqs = rng.uniform(55.0, 4000.0, size=4)
-        amps = rng.dirichlet(np.ones(4)).astype(np.float32)
-        phases = rng.uniform(0, 2 * np.pi, size=4)
-        left = sum(a * np.sin(2 * np.pi * f * t + p)
-                   for a, f, p in zip(amps, freqs, phases))
-        pan = rng.uniform(0.2, 0.8)
-        noise = rng.normal(0, 0.02, size=frame_size).astype(np.float32)
-        envelope = 0.5 * (1 + np.sin(2 * np.pi * rng.uniform(0.2, 2.0) * t))
-        left = (left * envelope + noise).astype(np.float32)
-        right = (left * pan + noise * (1 - pan)).astype(np.float32)
-        return np.stack([left, right], axis=-1)
+    Fully vectorised over the batch (one sin over [B, 4, T] per draw) so
+    the source sustains a >30 steps/s TPU training loop instead of being
+    the bottleneck a per-frame Python loop would be.
+    """
+    rng = np.random.default_rng(seed)
+    t = np.arange(frame_size, dtype=np.float32) / sample_rate  # [T]
+    two_pi = np.float32(2 * np.pi)
+
+    def sin_cycles(cycles: np.ndarray) -> np.ndarray:
+        # sin(2*pi*cycles) with the argument reduced to [-pi, pi) FIRST —
+        # raw arguments reach ~2*pi*4000*0.7 ~ 18k rad, and NumPy's sin is
+        # ~40x slower outside [-pi, pi] (large-argument reduction path).
+        # floor-based reduction: np.mod lowers to the much slower fmod.
+        centered = cycles - np.floor(cycles + np.float32(0.5))
+        return np.sin(two_pi * centered)
 
     while True:
-        yield np.stack([make_frame(rng) for _ in range(batch_size)])
+        b = batch_size
+        freqs = rng.uniform(55.0, 4000.0, size=(b, 4, 1)).astype(np.float32)
+        amps = rng.dirichlet(np.ones(4), size=b).astype(np.float32)[..., None]
+        phases = rng.uniform(0, 1.0, size=(b, 4, 1)).astype(np.float32)
+        left = np.sum(amps * sin_cycles(freqs * t + phases),
+                      axis=1)                                   # [B, T]
+        pan = rng.uniform(0.2, 0.8, size=(b, 1)).astype(np.float32)
+        noise = rng.standard_normal((b, frame_size),
+                                    dtype=np.float32) * np.float32(0.02)
+        env_hz = rng.uniform(0.2, 2.0, size=(b, 1)).astype(np.float32)
+        envelope = 0.5 * (1 + sin_cycles(env_hz * t))
+        left = (left * envelope + noise).astype(np.float32)
+        right = (left * pan + noise * (1 - pan)).astype(np.float32)
+        yield np.stack([left, right], axis=-1)
+
+
+def replay_pool_batches(stream: Iterator[np.ndarray],
+                        pool_batches: int = 64,
+                        seed: int = 0,
+                        refresh: bool = True) -> Iterator[np.ndarray]:
+    """Sampling-with-replacement replay pool over a batch iterator.
+
+    Synthesising (or decoding) audio on this host runs at ~100x realtime on
+    the single CPU, but a high-MFU TPU training step consumes data at
+    ~700x realtime — a straight stream starves the chip. The pool
+    decouples the two rates: the consumer draws a uniformly-resampled
+    batch from a pre-filled pool of ``pool_batches`` batches (rows remixed
+    across the whole pool so consecutive draws decorrelate), while a
+    daemon thread keeps overwriting random pool slots with fresh batches
+    from ``stream`` as fast as the CPU can make them. Over a long run the
+    model sees unbounded diversity; each clip is merely reused for the few
+    steps it stays resident.
+    """
+    rng = np.random.default_rng(seed)
+    pool = [np.asarray(next(stream)) for _ in range(pool_batches)]
+    batch_size = pool[0].shape[0]
+    stop = threading.Event()
+
+    if refresh:
+        def refresher():
+            refresher_rng = np.random.default_rng(seed + 1)
+            for item in stream:
+                if stop.is_set():
+                    return
+                slot = int(refresher_rng.integers(0, pool_batches))
+                pool[slot] = np.asarray(item)  # atomic slot swap under GIL
+
+        threading.Thread(target=refresher, daemon=True).start()
+
+    try:
+        while True:
+            # remix rows across the pool: batch_size independent (slot, row)
+            # draws rather than one whole stored batch
+            slots = rng.integers(0, pool_batches, size=batch_size)
+            rows = rng.integers(0, batch_size, size=batch_size)
+            yield np.stack([pool[s][r] for s, r in zip(slots, rows)])
+    finally:
+        stop.set()
+
+
+def prefetch_batches(stream: Iterator[np.ndarray],
+                     depth: int = 4) -> Iterator[np.ndarray]:
+    """Run any batch iterator in a daemon producer thread with a bounded
+    blocking queue, overlapping host-side batch assembly with device steps.
+
+    Same stop-flag discipline as ``_load_audio_files_threaded``: the
+    producer re-checks a stop event while blocked on a full queue, and the
+    consumer drains on teardown, so abandoning the generator never leaks
+    the thread.
+    """
+    q: queue.Queue = queue.Queue(maxsize=max(1, depth))
+    stop = threading.Event()
+    _SENTINEL = object()
+
+    def worker():
+        try:
+            for item in stream:
+                while not stop.is_set():
+                    try:
+                        q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+        finally:
+            while not stop.is_set():
+                try:
+                    q.put(_SENTINEL, timeout=0.1)
+                    return
+                except queue.Full:
+                    continue
+
+    thread = threading.Thread(target=worker, daemon=True)
+    thread.start()
+    try:
+        while True:
+            item = q.get()
+            if item is _SENTINEL:
+                return
+            yield item
+    finally:
+        stop.set()
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
 
 
 def write_wav(path: Path | str, audio: np.ndarray,

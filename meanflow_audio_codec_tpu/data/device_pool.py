@@ -1,0 +1,94 @@
+"""Device-resident replay pool: decouple training from the host link.
+
+Motivation (measured on the axon v5e tunnel): host->device transfers run
+at ~25-35 MB/s, while one high-MFU train step consumes ~4 MB of raw audio
+— shipping every batch makes training transfer-bound at ~5x the compute
+time. The reference never faced this (single local device, tiny models,
+eager steps: datasets feed straight into jnp.asarray, trainers/train.py:334).
+
+TPU-native answer: keep a pool of P clips resident in HBM.
+
+  * ``sample(key, k, batch)`` gathers a [k, batch, ...] training chunk from
+    the pool entirely on-device (one tiny index transfer per call).
+  * ``refresh()`` overwrites one pool slot-group with a fresh host batch,
+    quantized to int16 for the wire (2x fewer bytes; exactly the PCM
+    precision real WAV corpora have) and dequantized in-graph by a jitted
+    donated scatter. Transfers ride JAX's async dispatch, so they overlap
+    device compute instead of serializing with it.
+
+Over a long run the model still sees unbounded data diversity — the pool
+is a sliding window over the stream, not a fixed dataset; slots turn over
+every P/B refreshes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+#: int16 wire format: symmetric full-scale at this amplitude. Audio is
+#: nominally in [-1, 1]; synthetic mixtures can slightly exceed it, so
+#: leave ~10% headroom before the clip.
+WIRE_SCALE = 1.1
+
+
+@partial(jax.jit, donate_argnums=0)
+def _scatter_refresh(pool: jnp.ndarray, wire: jnp.ndarray,
+                     start: jnp.ndarray) -> jnp.ndarray:
+    """pool[start:start+B] = dequantize(wire), with the pool buffer donated."""
+    fresh = wire.astype(jnp.float32) * (WIRE_SCALE / 32767.0)
+    return jax.lax.dynamic_update_slice_in_dim(pool, fresh, start, axis=0)
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _gather_chunk(pool: jnp.ndarray, idx: jnp.ndarray,
+                  k: int, batch: int) -> jnp.ndarray:
+    return pool[idx].reshape((k, batch) + pool.shape[1:])
+
+
+def _quantize(batch: np.ndarray) -> np.ndarray:
+    return np.clip(batch * (32767.0 / WIRE_SCALE),
+                   -32767.0, 32767.0).astype(np.int16)
+
+
+class DeviceReplayPool:
+    """HBM-resident clip pool fed by a host batch iterator.
+
+    ``source`` yields [B, ...] float32 batches (any audio pipeline). The
+    pool holds ``pool_clips`` examples (rounded up to a multiple of B).
+    """
+
+    def __init__(self, source: Iterator[np.ndarray], pool_clips: int = 1024,
+                 seed: int = 0):
+        self._source = source
+        first = np.asarray(next(source))
+        self._batch = first.shape[0]
+        n_batches = max(2, -(-pool_clips // self._batch))
+        host = [first] + [np.asarray(next(source))
+                          for _ in range(n_batches - 1)]
+        # one quantized bulk upload (half the bytes of f32 at PCM fidelity)
+        wire = jnp.asarray(_quantize(np.concatenate(host, axis=0)))
+        self.pool = jax.jit(
+            lambda w: w.astype(jnp.float32) * (WIRE_SCALE / 32767.0))(wire)
+        self.pool_size = int(self.pool.shape[0])
+        self._rng = np.random.default_rng(seed)
+        self._slot = 0
+
+    def sample(self, k: int, batch: int) -> jnp.ndarray:
+        """[k, batch, ...] training chunk gathered on-device."""
+        idx = jnp.asarray(self._rng.integers(0, self.pool_size,
+                                             size=k * batch, dtype=np.int32))
+        return _gather_chunk(self.pool, idx, k, batch)
+
+    def refresh(self) -> None:
+        """Overwrite the next slot-group with a fresh host batch (async)."""
+        batch = np.asarray(next(self._source))
+        wire = jnp.asarray(_quantize(batch))  # async transfer, int16
+        start = jnp.int32(self._slot)
+        self.pool = _scatter_refresh(self.pool, wire, start)
+        # pool_size is a whole number of source batches, so slots tile it
+        self._slot = (self._slot + batch.shape[0]) % self.pool_size

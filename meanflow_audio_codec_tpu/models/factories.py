@@ -50,6 +50,7 @@ def create_conv_flow(noise_dimension: int, latent_dimension: int,
                      spatial: int | None = None,
                      lift_channels: int | None = None,
                      remat: bool = False,
+                     remat_policy: str | None = None,
                      dtype=jnp.float32) -> ConditionalConvFlow:
     return ConditionalConvFlow(
         noise_dimension=noise_dimension,
@@ -63,6 +64,7 @@ def create_conv_flow(noise_dimension: int, latent_dimension: int,
         spatial=spatial,
         lift_channels=lift_channels,
         remat=remat,
+        remat_policy=remat_policy,
         dtype=dtype,
     )
 

@@ -261,6 +261,8 @@ def create_loss_strategy(config: Any) -> Objective:
     if proportion is None:
         proportion = (config.flow_ratio
                       if config.flow_ratio is not None else 0.5)
+    full_proportion = getattr(config, "time_sampling_full_proportion",
+                              None) or 0.0
 
     time_name = config.time_sampling or "logit_normal"
     if time_name == "uniform":
@@ -268,8 +270,9 @@ def create_loss_strategy(config: Any) -> Objective:
     elif time_name == "logit_normal":
         time_sampling = LogitNormalTimeSampling(mean=mean, std=std)
     elif time_name == "mean_flow":
-        time_sampling = MeanFlowTimeSampling(mean=mean, std=std,
-                                             data_proportion=proportion)
+        time_sampling = MeanFlowTimeSampling(
+            mean=mean, std=std, data_proportion=proportion,
+            full_interval_proportion=full_proportion)
     else:
         raise ValueError(
             f"Unknown time_sampling: {time_name}. "
@@ -280,8 +283,9 @@ def create_loss_strategy(config: Any) -> Objective:
                     if config.use_weighted_loss is not None else True)
     mf_sampling = (time_sampling if isinstance(time_sampling,
                                                MeanFlowTimeSampling)
-                   else MeanFlowTimeSampling(mean=mean, std=std,
-                                             data_proportion=proportion))
+                   else MeanFlowTimeSampling(
+                       mean=mean, std=std, data_proportion=proportion,
+                       full_interval_proportion=full_proportion))
 
     weighting = getattr(config, "loss_weighting", None) or "uniform"
 

@@ -37,6 +37,8 @@ import optax
 from meanflow_audio_codec_tpu.configs import TrainFlowConfig
 from meanflow_audio_codec_tpu.data.audio import (
     build_audio_pipeline,
+    prefetch_batches,
+    replay_pool_batches,
     synthetic_audio_pipeline,
     write_wav,
 )
@@ -118,9 +120,17 @@ def make_dataset_iterator(config: TrainFlowConfig) -> Iterator[np.ndarray]:
                 config.data_dir, seed=config.seed, frame_size=frame_size,
                 batch_size=config.batch_size)
         print("No audio data_dir found; using synthetic audio source")
-        return synthetic_audio_pipeline(seed=config.seed,
-                                        frame_size=frame_size,
-                                        batch_size=config.batch_size)
+        source = synthetic_audio_pipeline(seed=config.seed,
+                                          frame_size=frame_size,
+                                          batch_size=config.batch_size)
+        # synthesis runs ~100x realtime on this host's single CPU while a
+        # high-MFU train step consumes ~700x — decouple via a replay pool
+        # whose slots a daemon thread keeps refreshing (data/audio.py)
+        pool = tok_cfg.get("pool_batches", 0)
+        if pool:
+            return replay_pool_batches(source, pool_batches=pool,
+                                       seed=config.seed)
+        return prefetch_batches(source)
     train_iter, _ = load_mnist(config.batch_size, seed=config.seed)
     return train_iter
 
@@ -286,6 +296,22 @@ def train_flow(config: TrainFlowConfig, resume: bool = False) -> dict:
 
     # ---- data / objective / fused step -------------------------------------
     data_iter = make_dataset_iterator(config)
+    # Device-resident replay pool (audio, single-device): the axon tunnel
+    # moves batches at ~30 MB/s while a step consumes ~4 MB — without the
+    # pool, training is transfer-bound ~5x (data/device_pool.py). Sharded
+    # runs keep the host path (the pool is not mesh-aware yet).
+    device_pool = None
+    if config.dataset == "audio" and data_sharding is None:
+        pool_clips = (config.tokenization_config or {}).get(
+            "device_pool_clips", 1024)
+        if pool_clips:
+            from meanflow_audio_codec_tpu.data.device_pool import (
+                DeviceReplayPool,
+            )
+            device_pool = DeviceReplayPool(data_iter, pool_clips=pool_clips,
+                                           seed=config.seed)
+            print(f"Device replay pool: {device_pool.pool_size} clips "
+                  f"resident in HBM, async int16 refresh")
     objective = create_loss_strategy(config)
     steps_per_call = max(1, config.tpu.steps_per_call)
     if steps_per_call > 1:
@@ -312,7 +338,8 @@ def train_flow(config: TrainFlowConfig, resume: bool = False) -> dict:
         return jax.device_put(arr, data_sharding)
 
     log = LogWriter(logs_dir / "train_log.jsonl")
-    first_batch = to_device(next(data_iter))
+    first_batch = (device_pool.sample(1, config.batch_size)[0]
+                   if device_pool else to_device(next(data_iter)))
     # FLOPs from a single-step probe program (works for both step modes)
     probe_fn = make_train_step(objective, tokenizer=adapter, flatten=True,
                                donate=False, remat=config.tpu.remat)
@@ -382,7 +409,17 @@ def train_flow(config: TrainFlowConfig, resume: bool = False) -> dict:
         if steps_per_call == 1:
             state, metrics = step_fn(state, step_key, batch)
             series = {name: [value] for name, value in metrics.items()}
-            batch = to_device(next(data_iter))  # prefetch next
+            if device_pool:
+                device_pool.refresh()
+                batch = device_pool.sample(1, config.batch_size)[0]
+            else:
+                batch = to_device(next(data_iter))  # prefetch next
+        elif device_pool:
+            stacked = device_pool.sample(k, config.batch_size)
+            state, series = chunk_fn(k)(state, step_key, stacked)
+            device_pool.refresh()  # async slot overwrite overlaps the chunk
+            series = {name: np.asarray(value)
+                      for name, value in series.items()}
         else:
             raws = ([np.asarray(jax.device_get(batch))] if first_chunk else [])
             while len(raws) < k:

@@ -10,6 +10,8 @@ from meanflow_audio_codec_tpu.data.audio import (
     build_audio_pipeline,
     glob_audio_files,
     load_audio_file,
+    prefetch_batches,
+    replay_pool_batches,
     synthetic_audio_pipeline,
     write_wav,
 )
@@ -101,6 +103,61 @@ def test_synthetic_audio_pipeline_shape():
     assert frames.shape == (3, 2048, 2)
     assert frames.dtype == np.float32
     assert np.abs(frames).max() <= 2.0
+
+
+def test_synthetic_pipeline_sine_reduction_accuracy():
+    """The floor-based sin argument reduction must match float64 sin."""
+    rng = np.random.default_rng(1)
+    cycles = rng.uniform(-3, 5000, size=20000).astype(np.float32)
+    ref = np.sin(2 * np.pi * np.float64(cycles))
+    two_pi = np.float32(2 * np.pi)
+    got = np.sin(two_pi * (cycles - np.floor(cycles + np.float32(0.5))))
+    assert np.abs(ref - got).max() < 1e-5
+
+
+def test_prefetch_batches_preserves_stream():
+    src = [np.full((2, 4), i, np.float32) for i in range(7)]
+    out = list(prefetch_batches(iter(src), depth=2))
+    assert len(out) == 7
+    for i, item in enumerate(out):
+        assert np.array_equal(item, src[i])
+
+
+def test_prefetch_batches_abandoned_consumer_stops_worker():
+    it = prefetch_batches(iter([np.zeros((1,))] * 100), depth=1)
+    next(it)
+    it.close()  # must not hang or leak: producer rechecks the stop flag
+
+
+def test_replay_pool_batches_shapes_and_content():
+    def src():
+        i = 0
+        while True:
+            yield np.full((4, 8), i, np.float32)
+            i += 1
+
+    it = replay_pool_batches(src(), pool_batches=3, seed=0, refresh=False)
+    for _ in range(5):
+        out = next(it)
+        assert out.shape == (4, 8)
+        # every row comes from one of the pooled batches (values 0, 1, 2)
+        assert set(np.unique(out)).issubset({0.0, 1.0, 2.0})
+    it.close()
+
+
+def test_replay_pool_batches_refresh_introduces_new_data():
+    def src():
+        i = 0
+        while True:
+            yield np.full((2, 4), i, np.float32)
+            i += 1
+
+    it = replay_pool_batches(src(), pool_batches=2, seed=0, refresh=True)
+    seen = set()
+    for _ in range(200):
+        seen.update(np.unique(next(it)).tolist())
+    it.close()
+    assert max(seen) >= 2.0  # a refreshed slot (value > initial fill) showed up
 
 
 def test_missing_audio_dir_raises(tmp_path):

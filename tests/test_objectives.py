@@ -193,6 +193,32 @@ def test_create_loss_strategy_mapping():
     assert imf.time_sampling.data_proportion == 0.75
 
 
+def test_full_interval_proportion_forces_corner_pairs():
+    """The full-interval slice trains the exact (t=1, r=0) decode query."""
+    from meanflow_audio_codec_tpu.ops.time_sampling import sample_tr
+
+    t, r = sample_tr(jax.random.PRNGKey(0), 16, data_proportion=0.25,
+                     full_interval_proportion=0.25)
+    t, r = np.asarray(t), np.asarray(r)
+    np.testing.assert_array_equal(t[:4], r[:4])        # r := t prefix
+    np.testing.assert_array_equal(t[4:8], np.ones((4, 1)))   # t = 1
+    np.testing.assert_array_equal(r[4:8], np.zeros((4, 1)))  # r = 0
+    assert (r[8:] <= t[8:]).all()                       # ordered tail
+
+    imf = create_loss_strategy(_config(
+        method="improved_mean_flow", use_improved_mean_flow=True,
+        time_sampling="mean_flow", time_sampling_full_proportion=0.5))
+    assert imf.time_sampling.full_interval_proportion == 0.5
+
+
+def test_full_interval_proportion_validation():
+    with pytest.raises(ValueError, match="full_proportion"):
+        _config(time_sampling_full_proportion=1.5)
+    with pytest.raises(ValueError, match="must not exceed 1"):
+        _config(time_sampling_data_proportion=0.75,
+                time_sampling_full_proportion=0.5)
+
+
 # ---- loss_weighting (uniform / time_dependent / learned) ---------------------
 
 @pytest.mark.parametrize("cls,kwargs", [

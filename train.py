@@ -42,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--latent-dimension", type=int, default=None)
     p.add_argument("--num-blocks", type=int, default=None)
     p.add_argument("--gamma", type=float, default=None)
+    p.add_argument("--full-interval-proportion", type=float, default=None,
+                   help="fraction of each batch trained at the exact "
+                        "(t=1, r=0) pair that 1-NFE decode evaluates")
     p.add_argument("--sample-every", type=int, default=None)
     p.add_argument("--sample-steps", type=int, default=None)
     p.add_argument("--sample-seed", type=int, default=None)
@@ -57,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="MDCT window size")
     p.add_argument("--coeff-scale", type=float, default=None,
                    help="divide MDCT tokens by this scale (flow conditioning)")
+    p.add_argument("--pool-batches", type=int, default=None,
+                   help="host replay-pool size for the synthetic audio source "
+                        "(decouples CPU synthesis rate from TPU step rate)")
+    p.add_argument("--device-pool-clips", type=int, default=None,
+                   help="HBM-resident replay pool size in clips (audio, "
+                        "single device; 0 disables; default 1024)")
     p.add_argument("--architecture-options", type=str, default=None,
                    help='JSON dict of family-specific sizing, e.g. '
                         '\'{"channels": 128, "bottleneck_dim": 512}\'')
@@ -96,7 +105,9 @@ def config_from_args(args) -> "TrainFlowConfig":
                       if args.architecture_options else None)},
         "dataset": {"data_dir": args.data_dir,
                     "tokenization_strategy": args.tokenization},
-        "method": {"method": args.method, "gamma": args.gamma},
+        "method": {"method": args.method, "gamma": args.gamma,
+                   "time_sampling_full_proportion":
+                       args.full_interval_proportion},
         "training": {"workdir": str(args.workdir) if args.workdir else None,
                      "sample_every": args.sample_every,
                      "sample_steps": args.sample_steps,
@@ -121,6 +132,10 @@ def config_from_args(args) -> "TrainFlowConfig":
         tok_cfg["window_size"] = args.window_size
     if args.coeff_scale is not None:
         tok_cfg["coeff_scale"] = args.coeff_scale
+    if args.pool_batches is not None:
+        tok_cfg["pool_batches"] = args.pool_batches
+    if args.device_pool_clips is not None:
+        tok_cfg["device_pool_clips"] = args.device_pool_clips
     if tok_cfg:
         overrides["dataset"]["tokenization_config"] = tok_cfg
     overrides = {k: v for k, v in overrides.items() if v}
