@@ -114,6 +114,13 @@ def generate_ablations(out_dir: Path, workdir_root: str = "./outputs"
              f"ablation--loss_weighting={weighting}")
     emit(merge_configs(imf, {"method": {"use_weighted_loss": False}}),
          "ablation--unweighted_loss")
+    # full-interval corner supervision (TPU framework extension: the slice
+    # of each batch trained at the exact (t=1, r=0) 1-NFE decode query)
+    for full in (0.0, 0.125, 0.25):
+        emit(merge_configs(imf, {
+            "method": {"time_sampling": "mean_flow",
+                       "time_sampling_full_proportion": full}}),
+             f"ablation--full_interval={full}")
     return written
 
 

@@ -41,6 +41,7 @@ def test_generate_ablations(tmp_path):
     assert any(n.startswith("ablation--gamma=") for n in names)
     assert any(n.startswith("ablation--size=") for n in names)
     assert "ablation--no_stop_gradient" in names
+    assert any(n.startswith("ablation--full_interval=") for n in names)
     for path in written:
         load_config_from_json(path)
 
