@@ -101,11 +101,22 @@ def load_error() -> str | None:
 
 
 def decode_wav_native(path: Path | str,
-                      max_samples: int = 1 << 26) -> tuple[np.ndarray, int] | None:
-    """Decode one WAV via the native parser -> ((C, T) float32, rate)."""
+                      max_samples: int | None = None
+                      ) -> tuple[np.ndarray, int] | None:
+    """Decode one WAV via the native parser -> ((C, T) float32, rate).
+
+    ``max_samples`` defaults to the file's byte size — an upper bound on
+    the sample count for every supported PCM width (8/16/24/32-bit), so
+    the scratch buffer is sized to the file instead of a fixed 256 MB.
+    """
     lib = _load()
     if lib is None:
         return None
+    if max_samples is None:
+        try:
+            max_samples = max(Path(path).stat().st_size, 64)
+        except OSError:
+            return None
     buf = np.empty(max_samples, dtype=np.float32)
     channels = ctypes.c_int()
     rate = ctypes.c_int()
