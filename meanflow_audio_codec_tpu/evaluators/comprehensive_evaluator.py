@@ -92,9 +92,12 @@ class ComprehensiveEvaluator:
             "memory_before": memory_usage(),
         }
         data = np.asarray(real_data[:self.num_samples])
-        x_tokens = self.adapter.tokenize(jnp.asarray(data))
-        latents = self.state.apply_fn({"params": self.eval_params},
-                                      x_tokens, method="encode")
+        # one jitted program for tokenize+encode — eager per-op dispatch is
+        # pathologically slow on remote-dispatch backends (CLAUDE.md)
+        encode = jax.jit(lambda p, raw: self.state.apply_fn(
+            {"params": p}, self.adapter.tokenize(raw), method="encode"))
+        latents = encode(self.eval_params, jnp.asarray(data))
+        force_completion(latents)
         key = jax.random.PRNGKey(self.seed)
 
         for nfe in self.nfe_list:
@@ -116,6 +119,8 @@ class ComprehensiveEvaluator:
                 **self._quality(data, decoded_np),
             }
             results["nfe_sweep"][str(nfe)] = entry
+            print(f"  nfe={nfe}: mse={entry.get('mse', float('nan')):.5f} "
+                  f"({timing['mean_sec'] * 1e3:.1f} ms/call)", flush=True)
         results["memory_after"] = memory_usage()
         return results
 
