@@ -120,6 +120,10 @@ class BaseConfig(Section):
     grad_clip_norm: float | None = None
     #: linear LR warmup steps (0 disables).
     warmup_steps: int = 0
+    #: LR decay after warmup: "constant" or "cosine" (decays to
+    #: lr_final_fraction * base_lr over the remaining n_steps).
+    lr_schedule: str = "constant"
+    lr_final_fraction: float = 0.0
 
     def validate(self) -> None:
         self._check_positive("batch_size", "n_steps", "base_lr")
@@ -127,6 +131,14 @@ class BaseConfig(Section):
         if self.grad_clip_norm is not None and self.grad_clip_norm <= 0:
             raise ValueError(
                 f"grad_clip_norm must be positive, got {self.grad_clip_norm}")
+        if self.lr_schedule not in ("constant", "cosine"):
+            raise ValueError(
+                f"lr_schedule must be 'constant' or 'cosine', "
+                f"got {self.lr_schedule!r}")
+        if not 0.0 <= self.lr_final_fraction <= 1.0:
+            raise ValueError(
+                f"lr_final_fraction must be in [0, 1], "
+                f"got {self.lr_final_fraction}")
 
 
 @dataclass

@@ -190,7 +190,14 @@ def make_optimizer(config: TrainFlowConfig):
     """
     lr = config.base_lr
     warmup = getattr(config.base, "warmup_steps", 0) or 0
-    if warmup:
+    if getattr(config.base, "lr_schedule", "constant") == "cosine":
+        decay_steps = max(config.n_steps - warmup, 1)
+        final = config.base_lr * getattr(config.base, "lr_final_fraction", 0.0)
+        lr = optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=config.base_lr,
+            warmup_steps=warmup, decay_steps=warmup + decay_steps,
+            end_value=final)
+    elif warmup:
         lr = optax.linear_schedule(init_value=0.0, end_value=config.base_lr,
                                    transition_steps=warmup)
     opt = optax.adamw(lr, weight_decay=config.weight_decay)

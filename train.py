@@ -73,6 +73,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="global-norm gradient clipping (stabilises bf16 JVP)")
     p.add_argument("--warmup-steps", type=int, default=None,
                    help="linear LR warmup steps")
+    p.add_argument("--lr-schedule", choices=["constant", "cosine"],
+                   default=None,
+                   help="post-warmup LR decay (cosine decays to "
+                        "lr-final-fraction * base-lr over n-steps)")
+    p.add_argument("--lr-final-fraction", type=float, default=None)
     p.add_argument("--skip-nonfinite", action="store_true",
                    help="drop NaN/inf updates in-graph (long-run insurance)")
     p.add_argument("--steps-per-call", type=int, default=None,
@@ -94,7 +99,9 @@ def config_from_args(args) -> "TrainFlowConfig":
         "base": {"batch_size": args.batch_size, "n_steps": args.n_steps,
                  "base_lr": args.base_lr, "weight_decay": args.weight_decay,
                  "seed": args.seed, "grad_clip_norm": args.grad_clip_norm,
-                 "warmup_steps": args.warmup_steps},
+                 "warmup_steps": args.warmup_steps,
+                 "lr_schedule": args.lr_schedule,
+                 "lr_final_fraction": args.lr_final_fraction},
         "model": {"architecture": args.architecture,
                   "noise_dimension": args.noise_dimension,
                   "condition_dimension": args.condition_dimension,
