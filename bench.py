@@ -109,18 +109,17 @@ def bench_train_steps() -> dict:
     from meanflow_audio_codec_tpu.training.train_step import make_multi_step
 
     # Geometry chosen by measurement (tools/benchmarks/benchmark_conv_mfu):
-    # 16x16 grid at 256 lane-aligned channels, factorised lift (c0=32),
-    # 1024-wide bottleneck, batch 2048 with dots-saveable per-stage remat
-    # (recompute is elementwise-only so remat costs ~no MXU FLOPs). The
-    # M-starvation study (documentation/performance.md) showed Dense pairs
-    # run 26% of peak at M=512 vs 57% at M=2048 on this chip. scan_k=8
-    # amortises the ~10 ms remote-dispatch cost to ~1 ms/step.
-    noise_dim, batch, scan_k = 1152, 2048, 8
+    # 8x8 grid at 1024 channels makes the 3x3 conv itself a large-K MXU
+    # matmul (K=9216, M=batch*64=131k) and shrinks the elementwise chain
+    # ~4x vs the 16x16 family; factorised lift (c0=64), batch 2048 with
+    # dots-saveable remat (recompute is elementwise-only, ~no MXU FLOPs).
+    # Measured 67.5% MFU / 132.9 TFLOP/s (documentation/performance.md).
+    noise_dim, batch, scan_k = 1152, 2048, 2
     model = ConditionalConvFlow(noise_dimension=noise_dim,
                                 condition_dimension=256, num_blocks=8,
-                                latent_dimension=256, channels=256,
-                                bottleneck_dim=1024, spatial=16,
-                                lift_channels=32, remat=True,
+                                latent_dimension=256, channels=1024,
+                                bottleneck_dim=512, spatial=8,
+                                lift_channels=64, remat=True,
                                 remat_policy="dots_saveable",
                                 dtype=jnp.bfloat16)
     x0 = jnp.zeros((batch, noise_dim))

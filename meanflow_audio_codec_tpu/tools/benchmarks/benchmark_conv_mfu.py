@@ -40,8 +40,10 @@ def bench_config(name: str, *, noise_dim: int = 1152, batch: int = 512,
 
     # MFU numerator = FLOPs of the *non-remat* single-step program (model
     # FLOPs); the timed program may remat (recompute does not earn credit).
+    num_blocks = model_kwargs.pop("num_blocks", 8)
     model = ConditionalConvFlow(noise_dimension=noise_dim,
-                                condition_dimension=256, num_blocks=8,
+                                condition_dimension=256,
+                                num_blocks=num_blocks,
                                 latent_dimension=256, dtype=jnp.bfloat16,
                                 remat=remat, **model_kwargs)
     x0 = jnp.zeros((batch, noise_dim))
@@ -143,6 +145,32 @@ CONFIGS = {
     "ch256_s16_lift32_bn1024_b3072_dots": dict(
         channels=256, bottleneck_dim=1024, spatial=16, lift_channels=32,
         batch=3072, scan_k=1, remat=True, remat_policy="dots_saveable"),
+    # scale-ups of the s8/ch512 winner (56.9% MFU at 75M params): same
+    # 8x8 grid, more capacity via bottleneck width / lift / depth / channels
+    "ch512_s8_lift64_bn1024_b2048_dots": dict(
+        channels=512, bottleneck_dim=1024, spatial=8, lift_channels=64,
+        batch=2048, scan_k=2, remat=True, remat_policy="dots_saveable"),
+    "ch512_s8_lift128_bn1024_b2048_dots": dict(
+        channels=512, bottleneck_dim=1024, spatial=8, lift_channels=128,
+        batch=2048, scan_k=2, remat=True, remat_policy="dots_saveable"),
+    "ch512_s8_lift64_nb16_b2048_dots": dict(
+        channels=512, bottleneck_dim=512, spatial=8, lift_channels=64,
+        num_blocks=16, batch=2048, scan_k=2, remat=True,
+        remat_policy="dots_saveable"),
+    "ch1024_s8_lift64_b2048_dots": dict(
+        channels=1024, bottleneck_dim=512, spatial=8, lift_channels=64,
+        batch=2048, scan_k=2, remat=True, remat_policy="dots_saveable"),
+    # push the ch1024 s8 winner (67.5% MFU): deeper / wider still
+    "ch1024_s8_lift64_nb16_b2048_dots": dict(
+        channels=1024, bottleneck_dim=512, spatial=8, lift_channels=64,
+        num_blocks=16, batch=2048, scan_k=1, remat=True,
+        remat_policy="dots_saveable"),
+    "ch2048_s8_lift128_b1024_dots": dict(
+        channels=2048, bottleneck_dim=512, spatial=8, lift_channels=128,
+        batch=1024, scan_k=2, remat=True, remat_policy="dots_saveable"),
+    "ch1024_s8_lift128_bn1024_b2048_dots": dict(
+        channels=1024, bottleneck_dim=1024, spatial=8, lift_channels=128,
+        batch=2048, scan_k=1, remat=True, remat_policy="dots_saveable"),
 }
 
 
