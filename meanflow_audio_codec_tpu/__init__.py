@@ -19,3 +19,11 @@ Subpackages:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy: AudioCodec pulls in flax/optax; keep bare package import light
+    if name == "AudioCodec":
+        from meanflow_audio_codec_tpu.codec import AudioCodec
+        return AudioCodec
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

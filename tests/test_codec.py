@@ -1,0 +1,102 @@
+"""AudioCodec product surface: encode -> latents -> 1-NFE decode."""
+
+import numpy as np
+import pytest
+
+from meanflow_audio_codec_tpu.codec import AudioCodec
+from meanflow_audio_codec_tpu.configs import (
+    BaseConfig,
+    DatasetConfig,
+    MethodConfig,
+    ModelConfig,
+    TrainFlowConfig,
+    TrainingConfig,
+)
+from meanflow_audio_codec_tpu.training.trainer import train_flow
+
+WINDOW = 64
+FRAME_SIZE = 1024
+NOISE_DIM = WINDOW * 2  # stereo frame token
+
+
+def _audio_config(workdir, n_steps: int = 2) -> TrainFlowConfig:
+    return TrainFlowConfig(
+        base=BaseConfig(batch_size=2, n_steps=n_steps, base_lr=1e-3,
+                        weight_decay=0.0, seed=0),
+        model=ModelConfig(noise_dimension=NOISE_DIM, condition_dimension=8,
+                          latent_dimension=6, num_blocks=1),
+        dataset=DatasetConfig(dataset="audio",
+                              tokenization_strategy="mdct",
+                              tokenization_config={
+                                  "frame_size": FRAME_SIZE,
+                                  "window_size": WINDOW,
+                                  "coeff_scale": 2.0,
+                              }),
+        method=MethodConfig(method="improved_mean_flow",
+                            use_improved_mean_flow=True),
+        training=TrainingConfig(sample_every=1000, sample_seed=0,
+                                sample_steps=1, workdir=workdir,
+                                checkpoint_step=n_steps),
+    )
+
+
+@pytest.fixture(scope="module")
+def trained_workdir(tmp_path_factory):
+    workdir = tmp_path_factory.mktemp("codec_run") / "run"
+    train_flow(_audio_config(str(workdir)))
+    return workdir
+
+
+def test_from_workdir_roundtrip_shapes(trained_workdir):
+    codec = AudioCodec.from_workdir(trained_workdir)
+    rng = np.random.default_rng(0)
+    audio = rng.uniform(-0.5, 0.5, (2, FRAME_SIZE, 2)).astype(np.float32)
+
+    latents = np.asarray(codec.encode(audio))
+    assert latents.ndim == 3
+    assert latents.shape[0] == 2 and latents.shape[2] == 6
+    n_frames = latents.shape[1]
+
+    recon = np.asarray(codec.decode(latents))
+    assert recon.shape[0] == 2 and recon.shape[2] == 2
+    assert recon.shape[1] >= FRAME_SIZE - WINDOW  # overlap-add trim
+    assert np.isfinite(recon).all()
+
+    # roundtrip == decode(encode(.)) under the same key
+    rt = np.asarray(codec.roundtrip(audio))
+    np.testing.assert_allclose(rt, recon, rtol=1e-5, atol=1e-5)
+
+    # latent sequence length scales with audio length
+    longer = rng.uniform(-0.5, 0.5, (1, 2 * FRAME_SIZE, 2)).astype(np.float32)
+    latents2 = np.asarray(codec.encode(longer))
+    assert latents2.shape[1] > n_frames
+
+
+def test_decode_is_keyed(trained_workdir):
+    import jax
+    codec = AudioCodec.from_workdir(trained_workdir)
+    rng = np.random.default_rng(1)
+    audio = rng.uniform(-0.5, 0.5, (1, FRAME_SIZE, 2)).astype(np.float32)
+    latents = codec.encode(audio)
+    a = np.asarray(codec.decode(latents, key=jax.random.PRNGKey(1)))
+    b = np.asarray(codec.decode(latents, key=jax.random.PRNGKey(2)))
+    c = np.asarray(codec.decode(latents, key=jax.random.PRNGKey(1)))
+    np.testing.assert_array_equal(a, c)      # reproducible
+    assert np.abs(a - b).max() > 0           # stochastic transport
+
+    # nfe > 1 runs the multi-interval path
+    multi = np.asarray(codec.decode(latents, nfe=2))
+    assert multi.shape == a.shape and np.isfinite(multi).all()
+
+
+def test_codec_metadata(trained_workdir):
+    codec = AudioCodec.from_workdir(trained_workdir)
+    assert codec.frames_per_second == pytest.approx(44100.0 / (WINDOW // 2))
+    assert codec.compression_ratio == pytest.approx((WINDOW // 2) * 2 / 6)
+
+
+def test_codec_rejects_non_frame_layout(tmp_path):
+    from meanflow_audio_codec_tpu.configs import create_mnist_config
+    cfg = create_mnist_config(**{"training": {"workdir": str(tmp_path)}})
+    with pytest.raises(ValueError, match="per-frame"):
+        AudioCodec(state=None, model=None, config=cfg)

@@ -99,3 +99,21 @@ def test_render_table_formats():
     with pytest.raises(ValueError):
         render_table(rows, "org")
     assert render_table([], "csv") == ""
+
+
+def test_benchmark_audio_decoders(tmp_path, capsys):
+    """Decoder comparison runs on a synthetic corpus; available backends
+    emit rate rows, missing backends emit skip rows (never crash)."""
+    from meanflow_audio_codec_tpu.tools.benchmarks.benchmark_audio_decoders import (
+        main as bench_main,
+    )
+    rc = bench_main(["--n-files", "3", "--seconds", "0.2", "--repeats", "1"])
+    assert rc == 0
+    rows = [json.loads(line) for line in
+            capsys.readouterr().out.strip().splitlines()]
+    by_backend = {r["backend"]: r for r in rows}
+    assert set(by_backend) == {"stdlib_wave", "native_cpp", "soundfile",
+                               "librosa", "minimp3py"}
+    wave_row = by_backend["stdlib_wave"]
+    assert wave_row["files"] == 3 and wave_row["files_per_sec"] > 0
+    assert by_backend["minimp3py"].get("skipped")  # no mp3 files in corpus
