@@ -59,6 +59,7 @@ class AudioCodec:
         self.adapter = TokenAdapter(strategy, "frames", scale=coeff_scale)
         self.noise_dim = config.noise_dimension
         self.latent_dim = config.latent_dimension
+        self._build_compiled()
 
     # ---- construction --------------------------------------------------------
     @classmethod
@@ -86,29 +87,35 @@ class AudioCodec:
         return ema if ema is not None else self.state.params
 
     # ---- compiled surfaces ---------------------------------------------------
-    @partial(jax.jit, static_argnums=0)
-    def _encode(self, params, audio: jnp.ndarray) -> jnp.ndarray:
-        tokens = self.adapter.strategy.tokenize(audio)
-        if self.adapter.scale != 1.0:
-            tokens = tokens / self.adapter.scale
-        b, nf, width = tokens.shape
-        flat = self.state.apply_fn({"params": params},
-                                   tokens.reshape(b * nf, width),
-                                   method="encode")
-        return flat.reshape(b, nf, -1)
+    # Built per-instance (not @jit methods with a static self): a static
+    # self would pin every AudioCodec — and its full on-device TrainState —
+    # in the global jit cache for the life of the process.
+    def _build_compiled(self):
+        apply_fn, adapter, noise_dim = (self.state.apply_fn, self.adapter,
+                                        self.noise_dim)
+
+        @jax.jit
+        def encode_fn(params, audio):
+            tokens = adapter.strategy.tokenize(audio)
+            if adapter.scale != 1.0:
+                tokens = tokens / adapter.scale
+            b, nf, width = tokens.shape
+            flat = apply_fn({"params": params},
+                            tokens.reshape(b * nf, width), method="encode")
+            return flat.reshape(b, nf, -1)
+
+        @partial(jax.jit, static_argnames=("nfe",))
+        def decode_fn(params, latents, key, nfe):
+            b, nf, _ = latents.shape
+            flat = sample_dual_time(apply_fn, noise_dim, params, key,
+                                    latents.reshape(b * nf, -1), n_steps=nfe)
+            return adapter.detokenize_flat(flat, (nf, noise_dim))
+
+        self._encode, self._decode = encode_fn, decode_fn
 
     def encode(self, audio) -> jnp.ndarray:
         """[B, T, C] audio -> [B, n_frames, latent_dim] latents."""
         return self._encode(self.params, jnp.asarray(audio))
-
-    @partial(jax.jit, static_argnums=(0, 4))
-    def _decode(self, params, latents: jnp.ndarray, key,
-                nfe: int) -> jnp.ndarray:
-        b, nf, _ = latents.shape
-        flat = sample_dual_time(self.state.apply_fn, self.noise_dim,
-                                params, key,
-                                latents.reshape(b * nf, -1), n_steps=nfe)
-        return self.adapter.detokenize_flat(flat, (nf, self.noise_dim))
 
     def decode(self, latents, nfe: int = 1, key=None) -> jnp.ndarray:
         """[B, n_frames, latent_dim] -> [B, T', C] audio (1-NFE default).
@@ -118,7 +125,8 @@ class AudioCodec:
         same content).
         """
         key = jax.random.PRNGKey(0) if key is None else key
-        return self._decode(self.params, jnp.asarray(latents), key, int(nfe))
+        return self._decode(self.params, jnp.asarray(latents), key,
+                            nfe=int(nfe))
 
     def roundtrip(self, audio, nfe: int = 1, key=None) -> jnp.ndarray:
         """encode + decode; the reconstruction the quality metrics score."""
@@ -126,16 +134,23 @@ class AudioCodec:
 
     # ---- metadata ------------------------------------------------------------
     @property
+    def _hop(self) -> int:
+        """True hop from the built tokenizer (not the raw config dict)."""
+        return int(self.adapter.strategy.config.hop_size)
+
+    @property
+    def _channels(self) -> int:
+        """Audio channels implied by the frame token width."""
+        window = int(self.adapter.strategy.config.window_size)
+        return max(1, self.noise_dim // window)
+
+    @property
     def frames_per_second(self) -> float:
-        """Latent frame rate at the configured sample rate (44.1 kHz)."""
-        cfg = self.config.tokenization_config or {}
-        hop = cfg.get("hop_size") or cfg.get("window_size", 576) // 2
-        return 44100.0 / hop
+        """Latent frame rate at the framework sample rate (44.1 kHz)."""
+        from meanflow_audio_codec_tpu.data.audio import TARGET_SAMPLE_RATE
+        return TARGET_SAMPLE_RATE / self._hop
 
     @property
     def compression_ratio(self) -> float:
         """Raw samples-per-frame / latent dims-per-frame (f32 latents)."""
-        cfg = self.config.tokenization_config or {}
-        hop = cfg.get("hop_size") or cfg.get("window_size", 576) // 2
-        channels = 2
-        return (hop * channels) / float(self.latent_dim)
+        return (self._hop * self._channels) / float(self.latent_dim)

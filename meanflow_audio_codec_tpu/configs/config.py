@@ -237,11 +237,19 @@ class MethodConfig(Section):
                 "time_sampling_full_proportion must be in [0, 1], "
                 f"got {self.time_sampling_full_proportion}"
             )
-        if ((self.time_sampling_data_proportion or 0)
-                + (self.time_sampling_full_proportion or 0)) > 1:
+        # unset data proportion defaults to flow_ratio, else 0.5, at runtime
+        # (training/objectives.py:260-263) — validate the EFFECTIVE value so
+        # an over-full batch cannot pass validation and then be silently
+        # clipped by sample_tr
+        effective_data = self.time_sampling_data_proportion
+        if effective_data is None:
+            effective_data = (self.flow_ratio
+                              if self.flow_ratio is not None else 0.5)
+        if effective_data + (self.time_sampling_full_proportion or 0) > 1:
             raise ValueError(
-                "time_sampling_data_proportion + time_sampling_full_proportion"
-                " must not exceed 1"
+                "time_sampling_data_proportion (effective "
+                f"{effective_data}, default 0.5 when unset) + "
+                "time_sampling_full_proportion must not exceed 1"
             )
         if self.method == "improved_mean_flow" and not self.use_improved_mean_flow:
             raise ValueError(

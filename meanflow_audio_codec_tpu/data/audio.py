@@ -366,6 +366,7 @@ def prefetch_batches(stream: Iterator[np.ndarray],
     q: queue.Queue = queue.Queue(maxsize=max(1, depth))
     stop = threading.Event()
     _SENTINEL = object()
+    failure: list[BaseException] = []  # producer error, re-raised in consumer
 
     def worker():
         try:
@@ -378,6 +379,8 @@ def prefetch_batches(stream: Iterator[np.ndarray],
                         continue
                 if stop.is_set():
                     return
+        except BaseException as exc:  # surface stream errors, not clean EOF
+            failure.append(exc)
         finally:
             while not stop.is_set():
                 try:
@@ -392,6 +395,9 @@ def prefetch_batches(stream: Iterator[np.ndarray],
         while True:
             item = q.get()
             if item is _SENTINEL:
+                if failure:
+                    raise RuntimeError(
+                        "prefetch producer failed") from failure[0]
                 return
             yield item
     finally:

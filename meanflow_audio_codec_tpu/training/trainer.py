@@ -404,7 +404,8 @@ def train_flow(config: TrainFlowConfig, resume: bool = False) -> dict:
             # for a final partial chunk of k == 1
             chunk_fns[k] = make_multi_step(
                 objective, k, tokenizer=adapter, flatten=True,
-                donate=True, remat=config.tpu.remat)
+                donate=True, remat=config.tpu.remat,
+                skip_nonfinite=config.tpu.skip_nonfinite_updates)
         return chunk_fns[k]
 
     step = start_step
@@ -453,8 +454,12 @@ def train_flow(config: TrainFlowConfig, resume: bool = False) -> dict:
                 mfu = record.get("mfu")
                 mfu_str = f" mfu={mfu:.1%}" if mfu else ""
                 mse_str = f" mse={mse:.5f}" if mse is not None else ""
+                # loss_ema is None until the first FINITE loss (the
+                # non-finite guard above skips the EMA update)
+                avg_str = (f"avg={loss_ema:.5f}" if loss_ema is not None
+                           else "avg=n/a")
                 print(f"step {step + i}: loss={loss:.5f} "
-                      f"avg={loss_ema:.5f}{mse_str} "
+                      f"{avg_str}{mse_str} "
                       f"t={per_step_time*1e3:.1f}ms{mfu_str}")
         prev_step, step = step, step + k
 
@@ -518,17 +523,27 @@ def load_flow_state(checkpoint_path: Path | str, config: TrainFlowConfig):
         variables = dict(variables)
         variables["params"] = dict(variables["params"])
         variables["params"][LEARNED_WEIGHT_KEY] = init_learned_weight_params()
-    loader = (load_checkpoint_orbax if Path(checkpoint_path).is_dir()
-              else load_checkpoint)
-    # runs trained with --ema-decay store an EMA copy; try that template
-    # first so evaluators can sample from the EMA weights
-    ema_template = TrainState.create(
-        apply_fn=model.apply,
-        params=variables["params"], tx=tx,
-        ema_params=jax.tree_util.tree_map(jnp.array, variables["params"]))
+    is_orbax = Path(checkpoint_path).is_dir()
+    loader = load_checkpoint_orbax if is_orbax else load_checkpoint
+
+    def template(with_ema: bool):
+        ema = (jax.tree_util.tree_map(jnp.array, variables["params"])
+               if with_ema else None)
+        return TrainState.create(apply_fn=model.apply,
+                                 params=variables["params"], tx=tx,
+                                 ema_params=ema)
+
+    # runs trained with --ema-decay store an EMA copy (evaluators sample
+    # from it); pick the matching template by INSPECTING the checkpoint —
+    # exception-driven fallback would mask real corruption errors
+    if not is_orbax:
+        import flax.serialization
+        payload = flax.serialization.msgpack_restore(
+            Path(checkpoint_path).read_bytes())
+        return loader(checkpoint_path,
+                      template(payload.get("ema_params") is not None)), model
     try:
-        return loader(checkpoint_path, ema_template), model
-    except Exception:
-        template = TrainState.create(apply_fn=model.apply,
-                                     params=variables["params"], tx=tx)
-        return loader(checkpoint_path, template), model
+        return loader(checkpoint_path, template(True)), model
+    except (ValueError, KeyError, TypeError):
+        # structure mismatch only: the run did not track EMA params
+        return loader(checkpoint_path, template(False)), model

@@ -271,3 +271,25 @@ def test_architecture_options_flow_through_factory_and_json():
             "architecture_options": "not-a-dict",
             "noise_dimension": 64, "condition_dimension": 16,
             "latent_dimension": 16, "num_blocks": 2}})
+
+
+def test_full_plus_default_data_proportion_rejected():
+    """Validation uses the EFFECTIVE data proportion (0.5 default when
+    unset, matching create_loss_strategy) so an over-full batch cannot
+    pass validation and be silently clipped by sample_tr."""
+    from meanflow_audio_codec_tpu.configs import create_mnist_config
+    with pytest.raises(ValueError, match="must not exceed 1"):
+        create_mnist_config(**{"method": {
+            "method": "improved_mean_flow", "use_improved_mean_flow": True,
+            "time_sampling_full_proportion": 0.6}})
+    # explicit data proportion that fits passes
+    cfg = create_mnist_config(**{"method": {
+        "method": "improved_mean_flow", "use_improved_mean_flow": True,
+        "time_sampling_data_proportion": 0.2,
+        "time_sampling_full_proportion": 0.6}})
+    assert cfg.time_sampling_full_proportion == 0.6
+    # flow_ratio stands in for an unset data proportion
+    with pytest.raises(ValueError, match="must not exceed 1"):
+        create_mnist_config(**{"method": {
+            "method": "improved_mean_flow", "use_improved_mean_flow": True,
+            "flow_ratio": 0.7, "time_sampling_full_proportion": 0.4}})

@@ -163,3 +163,16 @@ def test_replay_pool_batches_refresh_introduces_new_data():
 def test_missing_audio_dir_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         build_audio_pipeline(tmp_path / "nope", batch_size=1)
+
+
+def test_prefetch_batches_propagates_producer_error():
+    """A stream that raises mid-run surfaces the error in the consumer
+    instead of presenting as clean exhaustion."""
+    def bad_stream():
+        yield np.zeros((1,))
+        raise OSError("corrupt file")
+
+    it = prefetch_batches(bad_stream(), depth=2)
+    next(it)
+    with pytest.raises(RuntimeError, match="prefetch producer failed"):
+        list(it)
