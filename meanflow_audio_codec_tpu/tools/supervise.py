@@ -1,0 +1,140 @@
+"""Training supervisor: restart-on-stall wrapper around the train CLI.
+
+Failure mode observed in production on remote-dispatch backends (and
+documented in CLAUDE.md): the device tunnel drops mid-run, the in-flight
+RPC never completes, and the training process hangs forever while the
+chip itself recovers within minutes. The reference's failure handling
+(SURVEY.md §5.3) covers corrupted checkpoints and resume fallback but has
+no liveness supervision — a hung run just burns the reservation.
+
+This wrapper runs ``python train.py <args>`` as a child process, treats
+its stdout as a heartbeat, and on ``--stall-timeout`` seconds of silence
+kills the child and relaunches it with ``--resume`` appended, up to
+``--max-restarts`` times. Stdout passes through unchanged, so logs and
+drivers see the same stream they would from a bare run.
+
+    python -m meanflow_audio_codec_tpu.tools.supervise \
+        --stall-timeout 600 --max-restarts 5 -- \
+        --config outputs/run/config.json --workdir outputs/run
+
+Exit code: the child's final exit code (0 on success), or 75 (EX_TEMPFAIL)
+when the restart budget is exhausted while still stalled.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import selectors
+import signal
+import subprocess
+import sys
+import time
+
+EXIT_EXHAUSTED = 75  # EX_TEMPFAIL: gave up restarting a stalled child
+
+
+def _terminate(proc: subprocess.Popen, grace: float = 10.0) -> None:
+    """SIGTERM, then SIGKILL after a grace period. Never raises."""
+    if proc.poll() is not None:
+        return
+    try:
+        proc.terminate()
+        try:
+            proc.wait(timeout=grace)
+            return
+        except subprocess.TimeoutExpired:
+            proc.kill()
+            proc.wait(timeout=grace)
+    except OSError:
+        pass
+
+
+def run_supervised(train_args: list[str], stall_timeout: float,
+                   max_restarts: int, python: str | None = None,
+                   command: list[str] | None = None,
+                   heartbeat_poll: float = 1.0) -> int:
+    """Supervise one training run; returns the exit code to propagate.
+
+    ``command`` overrides the child argv entirely (tests); by default the
+    child is ``[sys.executable, train.py, *train_args]`` with ``train.py``
+    resolved relative to the repository root (two levels above tools/).
+    """
+    if command is None:
+        repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        command = [python or sys.executable, "-u",
+                   os.path.join(repo_root, "train.py")]
+    restarts = 0
+    args = list(train_args)
+    while True:
+        argv = command + args
+        print(f"[supervise] launch (attempt {restarts + 1}/"
+              f"{max_restarts + 1}): {' '.join(argv)}", flush=True)
+        proc = subprocess.Popen(argv, stdout=subprocess.PIPE,
+                                stderr=subprocess.STDOUT, text=True,
+                                bufsize=1)
+        sel = selectors.DefaultSelector()
+        sel.register(proc.stdout, selectors.EVENT_READ)
+        last_beat = time.monotonic()
+        stalled = False
+        try:
+            while proc.poll() is None:
+                if sel.select(timeout=heartbeat_poll):
+                    line = proc.stdout.readline()
+                    if line:
+                        last_beat = time.monotonic()
+                        sys.stdout.write(line)
+                        sys.stdout.flush()
+                if time.monotonic() - last_beat > stall_timeout:
+                    stalled = True
+                    break
+            # drain whatever remains after exit or before the kill
+            if not stalled:
+                for line in proc.stdout:
+                    sys.stdout.write(line)
+                sys.stdout.flush()
+        finally:
+            sel.close()
+        if not stalled:
+            rc = proc.wait()
+            if rc == 0:
+                if restarts:
+                    print(f"[supervise] completed after {restarts} "
+                          f"restart(s)", flush=True)
+                return 0
+            print(f"[supervise] child exited rc={rc}", flush=True)
+            return rc  # real failures are not retried — surface them
+        print(f"[supervise] no output for {stall_timeout:.0f}s — killing "
+              f"and resuming", flush=True)
+        _terminate(proc)
+        restarts += 1
+        if restarts > max_restarts:
+            print("[supervise] restart budget exhausted", flush=True)
+            return EXIT_EXHAUSTED
+        if "--resume" not in args:
+            args = args + ["--resume"]
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(
+        description=__doc__.splitlines()[0],
+        usage="python -m meanflow_audio_codec_tpu.tools.supervise "
+              "[options] -- <train.py args>")
+    parser.add_argument("--stall-timeout", type=float, default=600.0,
+                        help="seconds of child silence before a restart "
+                             "(default 600; trainer prints every 50 steps)")
+    parser.add_argument("--max-restarts", type=int, default=5)
+    parser.add_argument("train_args", nargs=argparse.REMAINDER,
+                        help="arguments after -- go to train.py verbatim")
+    args = parser.parse_args(argv)
+    train_args = args.train_args
+    if train_args and train_args[0] == "--":
+        train_args = train_args[1:]
+    if not train_args:
+        parser.error("no train.py arguments given (use -- <args>)")
+    return run_supervised(train_args, args.stall_timeout, args.max_restarts)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
