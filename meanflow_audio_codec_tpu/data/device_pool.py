@@ -23,6 +23,8 @@ every P/B refreshes.
 
 from __future__ import annotations
 
+import queue
+import threading
 from functools import partial
 from typing import Iterator
 
@@ -63,7 +65,7 @@ class DeviceReplayPool:
     """
 
     def __init__(self, source: Iterator[np.ndarray], pool_clips: int = 1024,
-                 seed: int = 0):
+                 seed: int = 0, prefetch: int = 2):
         self._source = source
         first = np.asarray(next(source))
         self._batch = first.shape[0]
@@ -77,6 +79,41 @@ class DeviceReplayPool:
         self.pool_size = int(self.pool.shape[0])
         self._rng = np.random.default_rng(seed)
         self._slot = 0
+        # Background producer: pre-synthesize + quantize the next batches so
+        # refresh() never pays the host synth on the training thread (the
+        # single-step trainer path calls refresh every step). The queue
+        # preserves source order, so consumption stays deterministic.
+        self._queue: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
+        self._stop = threading.Event()
+        self._error: BaseException | None = None
+        self._thread = threading.Thread(target=self._produce, daemon=True,
+                                        name="DeviceReplayPool-producer")
+        self._thread.start()
+
+    def _produce(self) -> None:
+        try:
+            while not self._stop.is_set():
+                wire = _quantize(np.asarray(next(self._source)))
+                while not self._stop.is_set():
+                    try:
+                        self._queue.put(wire, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+        except StopIteration:
+            self._queue.put(None)
+        except BaseException as exc:  # surface on the training thread
+            self._error = exc
+            self._queue.put(None)
+
+    def close(self) -> None:
+        """Stop the producer thread (idempotent)."""
+        self._stop.set()
+        try:  # unblock a producer stuck on a full queue
+            self._queue.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=5.0)
 
     def sample(self, k: int, batch: int) -> jnp.ndarray:
         """[k, batch, ...] training chunk gathered on-device."""
@@ -85,10 +122,18 @@ class DeviceReplayPool:
         return _gather_chunk(self.pool, idx, k, batch)
 
     def refresh(self) -> None:
-        """Overwrite the next slot-group with a fresh host batch (async)."""
-        batch = np.asarray(next(self._source))
-        wire = jnp.asarray(_quantize(batch))  # async transfer, int16
+        """Overwrite the next slot-group with a pre-produced host batch.
+
+        The producer thread keeps ``prefetch`` quantized batches ready, so
+        this call only issues the (async) int16 transfer and the jitted
+        donated scatter — no host synthesis on the training thread."""
+        wire_np = self._queue.get()
+        if wire_np is None:
+            if self._error is not None:
+                raise self._error
+            return  # source exhausted: pool keeps replaying resident clips
+        wire = jnp.asarray(wire_np)  # async transfer, int16
         start = jnp.int32(self._slot)
         self.pool = _scatter_refresh(self.pool, wire, start)
         # pool_size is a whole number of source batches, so slots tile it
-        self._slot = (self._slot + batch.shape[0]) % self.pool_size
+        self._slot = (self._slot + wire_np.shape[0]) % self.pool_size

@@ -100,23 +100,59 @@ def load_error() -> str | None:
     return _load_error
 
 
+def _wav_sample_bound(path: Path) -> int | None:
+    """Exact interleaved-sample count from the WAV header, or None.
+
+    Scans RIFF chunks for ``fmt `` (bits per sample) and ``data`` (byte
+    size) so the float32 scratch buffer is sized to the real payload —
+    a byte-count bound over-allocates 8x for 16-bit PCM (4 bytes of f32
+    scratch per payload byte vs the 2-bytes-per-sample truth)."""
+    try:
+        with open(path, "rb") as f:
+            if f.read(12)[:4] != b"RIFF":
+                return None
+            bytes_per = None
+            for _ in range(64):  # bounded chunk scan
+                head = f.read(8)
+                if len(head) < 8:
+                    return None
+                size = int.from_bytes(head[4:8], "little")
+                if head[:4] == b"fmt " and size >= 16:
+                    fmt = f.read(min(size, 4096))
+                    bits = int.from_bytes(fmt[14:16], "little")
+                    if bits not in (8, 16, 24, 32):
+                        return None
+                    bytes_per = bits // 8
+                    f.seek(max(size - 4096, 0) + (size & 1), 1)
+                elif head[:4] == b"data" and bytes_per:
+                    return max(size // bytes_per, 64)
+                else:
+                    f.seek(size + (size & 1), 1)
+    except OSError:
+        return None
+    return None
+
+
 def decode_wav_native(path: Path | str,
                       max_samples: int | None = None
                       ) -> tuple[np.ndarray, int] | None:
     """Decode one WAV via the native parser -> ((C, T) float32, rate).
 
-    ``max_samples`` defaults to the file's byte size — an upper bound on
-    the sample count for every supported PCM width (8/16/24/32-bit), so
-    the scratch buffer is sized to the file instead of a fixed 256 MB.
+    ``max_samples`` defaults to the exact sample count read from the WAV
+    header (falling back to the file byte size capped at 256 Mi samples),
+    so the float32 scratch buffer is sized to the real payload — never a
+    multi-GB allocation for a large file.
     """
     lib = _load()
     if lib is None:
         return None
     if max_samples is None:
-        try:
-            max_samples = max(Path(path).stat().st_size, 64)
-        except OSError:
-            return None
+        max_samples = _wav_sample_bound(Path(path))
+        if max_samples is None:
+            try:
+                max_samples = min(max(Path(path).stat().st_size, 64), 1 << 28)
+            except OSError:
+                return None
     buf = np.empty(max_samples, dtype=np.float32)
     channels = ctypes.c_int()
     rate = ctypes.c_int()

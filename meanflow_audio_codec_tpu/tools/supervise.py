@@ -71,28 +71,54 @@ def run_supervised(train_args: list[str], stall_timeout: float,
         argv = command + args
         print(f"[supervise] launch (attempt {restarts + 1}/"
               f"{max_restarts + 1}): {' '.join(argv)}", flush=True)
+        # Binary, unbuffered pipe + non-blocking raw os.read: a buffered
+        # TextIOWrapper.readline() would pull burst output into a userspace
+        # buffer invisible to select (delaying passthrough, dropping it on a
+        # stall kill) and block forever on a child hung mid-line. Any bytes
+        # count as a heartbeat; an incremental decoder keeps multi-byte
+        # characters split across chunks intact.
+        import codecs
+
         proc = subprocess.Popen(argv, stdout=subprocess.PIPE,
-                                stderr=subprocess.STDOUT, text=True,
-                                bufsize=1)
+                                stderr=subprocess.STDOUT, bufsize=0)
+        fd = proc.stdout.fileno()
+        os.set_blocking(fd, False)
+        decoder = codecs.getincrementaldecoder("utf-8")("replace")
+
+        def pump() -> bool:
+            """Drain currently-available bytes; True if any arrived."""
+            got = False
+            while True:
+                try:
+                    data = os.read(fd, 65536)
+                except BlockingIOError:
+                    break
+                except OSError:
+                    data = b""
+                if not data:
+                    break
+                got = True
+                sys.stdout.write(decoder.decode(data))
+            if got:
+                sys.stdout.flush()
+            return got
+
         sel = selectors.DefaultSelector()
         sel.register(proc.stdout, selectors.EVENT_READ)
         last_beat = time.monotonic()
         stalled = False
         try:
             while proc.poll() is None:
-                if sel.select(timeout=heartbeat_poll):
-                    line = proc.stdout.readline()
-                    if line:
-                        last_beat = time.monotonic()
-                        sys.stdout.write(line)
-                        sys.stdout.flush()
+                if sel.select(timeout=heartbeat_poll) and pump():
+                    last_beat = time.monotonic()
                 if time.monotonic() - last_beat > stall_timeout:
                     stalled = True
                     break
             # drain whatever remains after exit or before the kill
-            if not stalled:
-                for line in proc.stdout:
-                    sys.stdout.write(line)
+            pump()
+            tail = decoder.decode(b"", final=True)
+            if tail:
+                sys.stdout.write(tail)
                 sys.stdout.flush()
         finally:
             sel.close()

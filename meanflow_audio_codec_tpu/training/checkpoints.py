@@ -114,6 +114,25 @@ def load_checkpoint_orbax(path: Path | str, template):
         ema_params=restored["ema_params"])
 
 
+def orbax_checkpoint_has_ema(path: Path | str) -> bool:
+    """True when an orbax TrainState checkpoint stores an EMA copy.
+
+    Inspects the checkpoint tree *metadata* (no tensor reads): a no-EMA
+    run saves ``ema_params: None``, which orbax records as a None subtree.
+    Mirrors the msgpack path's payload inspection so legacy no-EMA
+    checkpoints load by structure rather than by guessing which exception
+    type a given orbax version raises on template mismatch."""
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as checkpointer:
+        meta = checkpointer.metadata(Path(path).absolute())
+    tree = getattr(getattr(meta, "item_metadata", meta), "tree", None)
+    if not isinstance(tree, dict):  # unexpected orbax layout: read the tree
+        with ocp.PyTreeCheckpointer() as checkpointer:
+            tree = checkpointer.restore(Path(path).absolute())
+    return tree.get("ema_params") is not None
+
+
 def save_params_only(state, path: Path | str) -> Path:
     """Lightweight params-only checkpoint for inference
     (reference utils.py:548-586)."""

@@ -309,8 +309,15 @@ def train_flow(config: TrainFlowConfig, resume: bool = False) -> dict:
     # runs keep the host path (the pool is not mesh-aware yet).
     device_pool = None
     if config.dataset == "audio" and data_sharding is None:
+        # Default ON only for the synthetic source (where the transfer-bound
+        # measurement motivating the pool applies and draws are i.i.d.
+        # anyway). Real data_dir corpora must opt in explicitly: the pool
+        # turns batches into with-replacement draws from a sliding window of
+        # int16-quantized clips — a distribution/precision change that should
+        # never happen silently to an existing config.
+        synthetic = not (config.data_dir and Path(config.data_dir).exists())
         pool_clips = (config.tokenization_config or {}).get(
-            "device_pool_clips", 1024)
+            "device_pool_clips", 1024 if synthetic else 0)
         if pool_clips:
             from meanflow_audio_codec_tpu.data.device_pool import (
                 DeviceReplayPool,
@@ -542,8 +549,8 @@ def load_flow_state(checkpoint_path: Path | str, config: TrainFlowConfig):
             Path(checkpoint_path).read_bytes())
         return loader(checkpoint_path,
                       template(payload.get("ema_params") is not None)), model
-    try:
-        return loader(checkpoint_path, template(True)), model
-    except (ValueError, KeyError, TypeError):
-        # structure mismatch only: the run did not track EMA params
-        return loader(checkpoint_path, template(False)), model
+    from meanflow_audio_codec_tpu.training.checkpoints import (
+        orbax_checkpoint_has_ema,
+    )
+    return loader(checkpoint_path,
+                  template(orbax_checkpoint_has_ema(checkpoint_path))), model

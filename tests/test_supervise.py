@@ -43,7 +43,11 @@ def test_stalled_child_restarted_with_resume(tmp_path, capfd):
     """First launch hangs silently; the relaunch (--resume appended)
     completes. The supervisor must kill the hung child and return 0."""
     marker = tmp_path / "launches"
-    rc = run_supervised(["--workdir", "w"], stall_timeout=2, max_restarts=2,
+    # stall_timeout must dominate worst-case interpreter startup under a
+    # loaded host (a concurrent training run): the stall timer starts at
+    # launch, so a margin tighter than startup time kills a healthy child
+    # before its first heartbeat line ever prints (observed flake at 2 s).
+    rc = run_supervised(["--workdir", "w"], stall_timeout=10, max_restarts=2,
                         command=_child(tmp_path, f"""
         import sys, time
         from pathlib import Path
