@@ -137,3 +137,129 @@ class DeviceReplayPool:
         self.pool = _scatter_refresh(self.pool, wire, start)
         # pool_size is a whole number of source batches, so slots tile it
         self._slot = (self._slot + wire_np.shape[0]) % self.pool_size
+
+
+class MeshDeviceReplayPool:
+    """Replay pool sharded over a mesh's data axis — the multi-chip pool.
+
+    Layout: the [P, ...] clip pool lives partitioned ``P('data')`` so each
+    of the n_d data-parallel devices owns an independent P/n_d-clip
+    sub-pool fed a disjoint slice of the host stream. Both hot paths are
+    ``shard_map``-local by construction:
+
+      * ``sample(k, batch)`` draws per-device local indices on the host and
+        gathers inside shard_map — every device reads only its own HBM, so
+        no collective (and no cross-chip byte) ever touches the replay
+        path; the result lands pre-sharded ``P(None, 'data')`` exactly as
+        the sharded train step consumes it.
+      * ``refresh()`` splits one host batch into n_d equal slices and
+        scatters each into its sub-pool at the same local slot (donated
+        buffers, int16 wire).
+
+    Divisibility contract (enforced): the source batch and the training
+    batch are multiples of the data-axis size — the same condition the
+    sharded trainer already requires of ``config.batch_size``.
+    """
+
+    def __init__(self, source: Iterator[np.ndarray], mesh,
+                 pool_clips: int = 1024, seed: int = 0, prefetch: int = 2,
+                 data_axis: str = "data"):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self._mesh = mesh
+        self._axis = data_axis
+        nd = mesh.shape[data_axis]
+        self.data_size = nd
+        first = np.asarray(next(source))
+        if first.shape[0] % nd:
+            raise ValueError(
+                f"source batch {first.shape[0]} not divisible by data-axis "
+                f"size {nd}")
+        self._batch = first.shape[0]
+        n_batches = max(2, -(-pool_clips // self._batch))
+        host = [first] + [np.asarray(next(source))
+                          for _ in range(n_batches - 1)]
+        sharding = NamedSharding(mesh, P(data_axis))
+        wire = jax.device_put(_quantize(np.concatenate(host, axis=0)),
+                              sharding)
+        self.pool = jax.jit(
+            lambda w: w.astype(jnp.float32) * (WIRE_SCALE / 32767.0),
+            out_shardings=sharding)(wire)
+        self.pool_size = int(self.pool.shape[0])
+        self.local_size = self.pool_size // nd
+        self._rng = np.random.default_rng(seed)
+        self._local_slot = 0
+
+        spec_pool = P(data_axis)
+
+        def _local_scatter(pool, wire, start):
+            fresh = wire.astype(jnp.float32) * (WIRE_SCALE / 32767.0)
+            return jax.lax.dynamic_update_slice_in_dim(
+                pool, fresh, start[0], axis=0)
+
+        self._scatter = jax.jit(
+            jax.shard_map(
+                _local_scatter, mesh=mesh,
+                in_specs=(spec_pool, spec_pool, spec_pool),
+                out_specs=spec_pool),
+            donate_argnums=0)
+        self._gather_cache: dict = {}
+
+        self._queue: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
+        self._stop = threading.Event()
+        self._error: BaseException | None = None
+        self._source = source
+        self._thread = threading.Thread(target=self._produce, daemon=True,
+                                        name="MeshDeviceReplayPool-producer")
+        self._thread.start()
+
+    def _gather(self, k: int, per_dev: int):
+        """Jitted per-shape local gather, cached on (k, per_dev)."""
+        fn = self._gather_cache.get((k, per_dev))
+        if fn is None:
+            from jax.sharding import PartitionSpec as P
+
+            def _local_gather(pool, idx):
+                # pool [P/nd, ...]; idx [1, k*per_dev] local indices
+                rows = pool[idx[0]]
+                return rows.reshape((k, per_dev) + pool.shape[1:])
+
+            fn = jax.jit(jax.shard_map(
+                _local_gather, mesh=self._mesh,
+                in_specs=(P(self._axis), P(self._axis, None)),
+                out_specs=P(None, self._axis)))
+            self._gather_cache[(k, per_dev)] = fn
+        return fn
+
+    _produce = DeviceReplayPool._produce
+    close = DeviceReplayPool.close
+
+    def sample(self, k: int, batch: int) -> jnp.ndarray:
+        """[k, batch, ...] chunk, pre-sharded P(None, 'data') on the mesh."""
+        if batch % self.data_size:
+            raise ValueError(
+                f"batch {batch} not divisible by data-axis size {self.data_size}")
+        per_dev = batch // self.data_size
+        idx = np.asarray(self._rng.integers(
+            0, self.local_size, size=(self.data_size, k * per_dev),
+            dtype=np.int32))
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        idx = jax.device_put(
+            idx, NamedSharding(self._mesh, P(self._axis, None)))
+        return self._gather(k, per_dev)(self.pool, idx)
+
+    def refresh(self) -> None:
+        """Scatter one pre-produced host batch, B/n_d clips per sub-pool."""
+        wire_np = self._queue.get()
+        if wire_np is None:
+            if self._error is not None:
+                raise self._error
+            return
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        sharding = NamedSharding(self._mesh, P(self._axis))
+        wire = jax.device_put(wire_np, sharding)
+        start = jax.device_put(
+            np.full((self.data_size,), self._local_slot, np.int32), sharding)
+        self.pool = self._scatter(self.pool, wire, start)
+        self._local_slot = ((self._local_slot + wire_np.shape[0] // self.data_size)
+                            % self.local_size)

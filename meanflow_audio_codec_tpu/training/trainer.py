@@ -303,12 +303,12 @@ def train_flow(config: TrainFlowConfig, resume: bool = False) -> dict:
 
     # ---- data / objective / fused step -------------------------------------
     data_iter = make_dataset_iterator(config)
-    # Device-resident replay pool (audio, single-device): the axon tunnel
-    # moves batches at ~30 MB/s while a step consumes ~4 MB — without the
-    # pool, training is transfer-bound ~5x (data/device_pool.py). Sharded
-    # runs keep the host path (the pool is not mesh-aware yet).
+    # Device-resident replay pool (audio): the axon tunnel moves batches at
+    # ~30 MB/s while a step consumes ~4 MB — without the pool, training is
+    # transfer-bound ~5x (data/device_pool.py). Sharded runs use the
+    # mesh-aware variant (per-device sub-pools, shard_map-local replay).
     device_pool = None
-    if config.dataset == "audio" and data_sharding is None:
+    if config.dataset == "audio":
         # Default ON only for the synthetic source (where the transfer-bound
         # measurement motivating the pool applies and draws are i.i.d.
         # anyway). Real data_dir corpora must opt in explicitly: the pool
@@ -318,7 +318,7 @@ def train_flow(config: TrainFlowConfig, resume: bool = False) -> dict:
         synthetic = not (config.data_dir and Path(config.data_dir).exists())
         pool_clips = (config.tokenization_config or {}).get(
             "device_pool_clips", 1024 if synthetic else 0)
-        if pool_clips:
+        if pool_clips and data_sharding is None:
             from meanflow_audio_codec_tpu.data.device_pool import (
                 DeviceReplayPool,
             )
@@ -326,6 +326,17 @@ def train_flow(config: TrainFlowConfig, resume: bool = False) -> dict:
                                            seed=config.seed)
             print(f"Device replay pool: {device_pool.pool_size} clips "
                   f"resident in HBM, async int16 refresh")
+        elif pool_clips:
+            from meanflow_audio_codec_tpu.data.device_pool import (
+                MeshDeviceReplayPool,
+            )
+            device_pool = MeshDeviceReplayPool(
+                data_iter, data_sharding.mesh, pool_clips=pool_clips,
+                seed=config.seed)
+            print(f"Mesh device replay pool: {device_pool.pool_size} clips "
+                  f"({device_pool.local_size}/device over "
+                  f"{device_pool.data_size} data shards), async int16 "
+                  f"refresh")
     objective = create_loss_strategy(config)
     steps_per_call = max(1, config.tpu.steps_per_call)
     if steps_per_call > 1:

@@ -1,11 +1,15 @@
 """Device-resident replay pool: gather/refresh semantics on the CPU mesh."""
 
+import jax
 import numpy as np
+from jax.sharding import PartitionSpec as P
 
 from meanflow_audio_codec_tpu.data.device_pool import (
     WIRE_SCALE,
     DeviceReplayPool,
+    MeshDeviceReplayPool,
 )
+from meanflow_audio_codec_tpu.parallel import create_mesh
 
 
 def counting_source(batch=4, shape=(16, 2)):
@@ -50,3 +54,46 @@ def test_pool_quantization_fidelity():
     pool = DeviceReplayPool(src(), pool_clips=8, seed=0)
     got = np.asarray(pool.pool)[:4]
     assert np.abs(got - data).max() < WIRE_SCALE / 32767.0 + 1e-7
+
+
+def test_mesh_pool_shards_and_samples(capsys):
+    mesh = create_mesh(data=4, model=2)
+    pool = MeshDeviceReplayPool(counting_source(batch=8), mesh,
+                                pool_clips=16, seed=0)
+    assert pool.pool_size == 16 and pool.local_size == 4
+    # pool lives partitioned over the data axis
+    spec = pool.pool.sharding.spec
+    assert spec == P("data")
+    chunk = pool.sample(k=3, batch=8)
+    assert chunk.shape == (3, 8, 16, 2)
+    # sampled output is pre-sharded [k, batch-over-data]
+    assert chunk.sharding.spec == P(None, "data")
+    vals = np.unique(np.asarray(chunk, dtype=np.float64))
+    expected = np.array([0.0, 0.01])  # two filled batches (values 0, 0.01)
+    assert all(np.isclose(expected, v, atol=1e-4).any() for v in vals)
+
+
+def test_mesh_pool_refresh_rotates_local_slots():
+    mesh = create_mesh(data=4, model=2)
+    pool = MeshDeviceReplayPool(counting_source(batch=8), mesh,
+                                pool_clips=16, seed=0)
+    for _ in range(2):  # two refreshes: batches 2 and 3 fill all 16 slots
+        pool.refresh()
+    arr = np.asarray(pool.pool, dtype=np.float64)
+    vals = np.unique(arr)
+    assert np.isclose(vals, 0.02, atol=1e-4).any()
+    assert np.isclose(vals, 0.03, atol=1e-4).any()
+    assert pool._local_slot == 0  # wrapped: 2 refreshes x 2 clips = local 4
+    pool.close()
+
+
+def test_mesh_pool_rejects_indivisible_batch():
+    mesh = create_mesh(data=4, model=2)
+    pool = MeshDeviceReplayPool(counting_source(batch=8), mesh,
+                                pool_clips=16, seed=0)
+    try:
+        pool.sample(k=1, batch=6)
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
