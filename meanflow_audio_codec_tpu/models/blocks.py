@@ -20,7 +20,19 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from meanflow_audio_codec_tpu.ops.stage_pallas import (
+    fused_gelu_grn,
+    fused_ln_film,
+    fused_ln_norm,
+)
+
 Dtype = Any
+
+
+def _as_rows(x: jnp.ndarray) -> tuple[jnp.ndarray, tuple[int, ...]]:
+    """[B, ..., C] -> ([B, P, C], original shape) for the fused stage ops."""
+    shape = x.shape
+    return x.reshape(shape[0], -1, shape[-1]), shape
 
 
 class MLP(nn.Module):
@@ -118,12 +130,24 @@ class MixerBlock(nn.Module):
 
 class GlobalResponseNormalization(nn.Module):
     """ConvNeXt-V2 GRN (reference conv_flow.py:14-45): inter-channel feature
-    competition via the global spatial L2 response, f32-accumulated."""
+    competition via the global spatial L2 response, f32-accumulated.
+
+    ``fused_gelu=True`` treats the input as PRE-activation and runs the
+    fused GELU+GRN Pallas kernel (ops/stage_pallas.py) — one HBM pass for
+    the whole segment. Parameter names/shapes are identical either way.
+    """
 
     epsilon: float = 1e-6
+    fused_gelu: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.fused_gelu:
+            channels = x.shape[-1]
+            gamma = self.param("gamma", nn.initializers.zeros, (channels,))
+            beta = self.param("beta", nn.initializers.zeros, (channels,))
+            rows, shape = _as_rows(x)
+            return fused_gelu_grn(rows, gamma, beta, False).reshape(shape)
         spatial_axes = tuple(range(1, x.ndim - 1))
         # epsilon INSIDE the sqrt: sqrt'(0) is inf, so a channel that dies
         # to exact zeros (GELU saturation) turns the mean-flow JVP tangent
@@ -147,6 +171,9 @@ class ConvNeXtBlock(nn.Module):
     drop_path: float = 0.0
     layer_scale_init_value: float = 1e-6
     use_grn: bool = True
+    #: run the elementwise/normalization segments through the fused Pallas
+    #: stage kernels (ops/stage_pallas.py); falls back to XLA off-TPU.
+    fused_stage: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -154,11 +181,18 @@ class ConvNeXtBlock(nn.Module):
         residual = x
         h = nn.Conv(self.dim, kernel_size=(3, 3), padding="SAME",
                     dtype=self.dtype)(x)
-        h = _adaln_norm(h)
+        if self.fused_stage:
+            rows, shape = _as_rows(h)
+            h = fused_ln_norm(rows, False).reshape(shape)
+        else:
+            h = _adaln_norm(h)
         h = nn.Conv(2 * self.dim, kernel_size=(1, 1), dtype=self.dtype)(h)
-        h = jax.nn.gelu(h, approximate=True)
-        if self.use_grn:
-            h = GlobalResponseNormalization()(h)
+        if self.fused_stage and self.use_grn:
+            h = GlobalResponseNormalization(fused_gelu=True)(h)
+        else:
+            h = jax.nn.gelu(h, approximate=True)
+            if self.use_grn:
+                h = GlobalResponseNormalization()(h)
         h = nn.Conv(self.dim, kernel_size=(1, 1), dtype=self.dtype)(h)
         if self.layer_scale_init_value > 0:
             gamma = self.param(
@@ -178,14 +212,24 @@ class ConvNeXtBlock(nn.Module):
 
 class FiLM(nn.Module):
     """Feature-wise linear modulation over the channel axis
-    (reference conv_flow.py:185-191, simple_conv_flow.py:16-42)."""
+    (reference conv_flow.py:185-191, simple_conv_flow.py:16-42).
+
+    ``fuse_norm=True`` treats the input as PRE-norm and runs the fused
+    adaLN-norm + FiLM Pallas kernel (ops/stage_pallas.py) — one HBM pass
+    for the norm + modulation segment. The scale/shift Dense (and thus the
+    parameter tree) is identical either way.
+    """
 
     channels: int
+    fuse_norm: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, condition: jnp.ndarray) -> jnp.ndarray:
         params = nn.Dense(2 * self.channels, dtype=self.dtype)(condition)
         scale, shift = jnp.split(params, 2, axis=-1)
+        if self.fuse_norm:
+            rows, shape = _as_rows(x)
+            return fused_ln_film(rows, scale, shift, False).reshape(shape)
         expand = (slice(None),) + (None,) * (x.ndim - 2)
         return (1.0 + scale[expand]) * x + shift[expand]

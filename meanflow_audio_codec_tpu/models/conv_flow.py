@@ -54,6 +54,9 @@ class ConvStage(nn.Module):
     spatial: int | None = None
     #: None -> dense lift (reference); int c0 -> factorised lift via 1x1.
     lift_channels: int | None = None
+    #: fuse the norm/FiLM/GELU/GRN segments into Pallas kernels
+    #: (ops/stage_pallas.py); XLA fallback off-TPU — numerics preserved.
+    fused_stage: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -73,9 +76,13 @@ class ConvStage(nn.Module):
         else:
             h = nn.Dense(spatial * spatial * channels, dtype=self.dtype)(h)
             h = h.reshape(h.shape[0], spatial, spatial, channels)
-        h = _adaln_norm(h)
-        h = FiLM(channels, dtype=self.dtype)(h, condition)
+        if self.fused_stage:
+            h = FiLM(channels, fuse_norm=True, dtype=self.dtype)(h, condition)
+        else:
+            h = _adaln_norm(h)
+            h = FiLM(channels, dtype=self.dtype)(h, condition)
         h = ConvNeXtBlock(dim=channels, use_grn=self.use_grn,
+                          fused_stage=self.fused_stage,
                           dtype=self.dtype)(h)
         if self.lift_channels is not None:
             h = nn.Conv(self.lift_channels, kernel_size=(1, 1),
@@ -135,6 +142,8 @@ class ConditionalConvFlow(nn.Module):
     #: internal grid side / factorised-lift width (see ConvStage docstring).
     spatial: int | None = None
     lift_channels: int | None = None
+    #: fused Pallas stage kernels (see ConvStage.fused_stage).
+    fused_stage: bool = False
     #: rematerialise each decoder stage in the backward pass (per-block
     #: jax.checkpoint — required for codec-scale batches in HBM).
     remat: bool = False
@@ -161,6 +170,7 @@ class ConditionalConvFlow(nn.Module):
                 bottleneck_dim=self.bottleneck_dim,
                 spatial=self.spatial,
                 lift_channels=self.lift_channels,
+                fused_stage=self.fused_stage,
                 dtype=self.dtype,
             )
             for _ in range(self.num_blocks)

@@ -51,6 +51,7 @@ def create_conv_flow(noise_dimension: int, latent_dimension: int,
                      lift_channels: int | None = None,
                      remat: bool = False,
                      remat_policy: str | None = None,
+                     fused_stage: bool = False,
                      dtype=jnp.float32) -> ConditionalConvFlow:
     return ConditionalConvFlow(
         noise_dimension=noise_dimension,
@@ -65,6 +66,7 @@ def create_conv_flow(noise_dimension: int, latent_dimension: int,
         lift_channels=lift_channels,
         remat=remat,
         remat_policy=remat_policy,
+        fused_stage=fused_stage,
         dtype=dtype,
     )
 

@@ -24,6 +24,12 @@ from meanflow_audio_codec_tpu.ops.mdct import (
     sine_window,
 )
 from meanflow_audio_codec_tpu.ops.mdct_layers import IMDCTLayer, MDCTLayer
+from meanflow_audio_codec_tpu.ops.stage_pallas import (
+    fused_gelu_grn,
+    fused_ln_film,
+    fused_ln_norm,
+    stage_fusable,
+)
 from meanflow_audio_codec_tpu.ops.schedules import (
     LinearNoiseSchedule,
     UniformNoiseSchedule,

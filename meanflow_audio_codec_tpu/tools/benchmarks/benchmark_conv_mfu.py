@@ -54,7 +54,10 @@ def bench_config(name: str, *, noise_dim: int = 1152, batch: int = 512,
                               params=variables["params"],
                               tx=optax.adamw(1e-4))
     objective = ImprovedMeanFlowObjective()
-    flops_model = (model.clone(remat=False) if remat else model)
+    # numerator from the non-remat, NON-fused program: remat recompute earns
+    # no credit, and XLA cost analysis cannot see inside a Pallas custom
+    # call — the unfused clone keeps fused rows comparable to their baselines
+    flops_model = model.clone(remat=False, fused_stage=False)
     flops_state = state.replace(apply_fn=flops_model.apply)
     single = make_train_step(objective, donate=False)
     probe = jax.random.normal(jax.random.PRNGKey(1), (batch, noise_dim))
@@ -171,6 +174,21 @@ CONFIGS = {
     "ch1024_s8_lift128_bn1024_b2048_dots": dict(
         channels=1024, bottleneck_dim=1024, spatial=8, lift_channels=128,
         batch=2048, scan_k=1, remat=True, remat_policy="dots_saveable"),
+    # fused Pallas stage kernels (ops/stage_pallas.py) on the champions:
+    # one HBM pass for each norm/FiLM/GELU/GRN segment instead of XLA's
+    # reduce->broadcast chains
+    "ch1024_s8_lift64_b2048_dots_fused": dict(
+        channels=1024, bottleneck_dim=512, spatial=8, lift_channels=64,
+        batch=2048, scan_k=2, remat=True, remat_policy="dots_saveable",
+        fused_stage=True),
+    "ch512_s8_lift64_bn1024_b2048_dots_fused": dict(
+        channels=512, bottleneck_dim=1024, spatial=8, lift_channels=64,
+        batch=2048, scan_k=2, remat=True, remat_policy="dots_saveable",
+        fused_stage=True),
+    "ch1024_s8_lift64_nb16_b2048_dots_fused": dict(
+        channels=1024, bottleneck_dim=512, spatial=8, lift_channels=64,
+        num_blocks=16, batch=2048, scan_k=1, remat=True,
+        remat_policy="dots_saveable", fused_stage=True),
 }
 
 
