@@ -309,6 +309,146 @@ def synthetic_audio_pipeline(seed: int = 0,
         yield np.stack([left, right], axis=-1)
 
 
+def synthetic_audio_pipeline_rich(seed: int = 0,
+                                  frame_size: int = DEFAULT_FRAME_SIZE,
+                                  batch_size: int = 32,
+                                  sample_rate: int = TARGET_SAMPLE_RATE
+                                  ) -> Iterator[np.ndarray]:
+    """Synthetic corpus shaped toward real-audio statistics.
+
+    The tonal family (:func:`synthetic_audio_pipeline`) is 4-partial
+    steady-state mixtures — none of the structure that makes real music hard
+    for a codec. This family adds, per clip (random subset):
+
+      * polyphonic chords: up to 3 voices x 4 harmonics with power-law
+        rolloff and per-harmonic detune;
+      * pitch glides (chirps) with a formant-like resonance envelope — the
+        closed-form quadratic-phase sweep keeps it vectorised;
+      * percussive transients: exponentially-decaying noise+tone bursts at
+        random onsets (3 events/clip);
+      * broadband noise beds: white noise coloured to 1/f^alpha via one
+        rFFT per batch;
+      * silence/onset structure: cosine-ramp gates delaying the onset;
+      * per-component constant-power stereo panning.
+
+    Stands in for the reference's real-music corpus
+    (reference datasets/audio.py:93-132) in this zero-egress image: models
+    trained on the tonal family are evaluated on THIS family to measure
+    cross-family generalization (documentation/results.md).
+    """
+    rng = np.random.default_rng(seed)
+    t = np.arange(frame_size, dtype=np.float32) / sample_rate     # [T]
+    dur = frame_size / sample_rate
+    two_pi = np.float32(2 * np.pi)
+
+    def sin_cycles(cycles: np.ndarray) -> np.ndarray:
+        centered = cycles - np.floor(cycles + np.float32(0.5))
+        return np.sin(two_pi * centered)
+
+    n_voices, n_harm, n_events = 3, 4, 3
+    k_h = np.arange(1, n_harm + 1, dtype=np.float32)              # [H]
+
+    while True:
+        b = batch_size
+        # --- polyphonic chords: [B, V, H] partials --------------------------
+        f0 = np.exp(rng.uniform(np.log(55.0), np.log(1000.0),
+                                size=(b, n_voices, 1))).astype(np.float32)
+        detune = (1.0 + rng.normal(0.0, 0.002, size=(b, n_voices, n_harm))
+                  ).astype(np.float32)
+        rolloff = rng.uniform(0.5, 2.0, size=(b, 1, 1)).astype(np.float32)
+        voice_amp = (rng.dirichlet(np.ones(n_voices), size=b)
+                     .astype(np.float32)[..., None]
+                     * (rng.random((b, n_voices, 1)) < 0.75))
+        freqs = (f0 * k_h * detune).reshape(b, -1, 1)             # [B, VH, 1]
+        amps = (voice_amp * k_h ** (-rolloff)).reshape(b, -1, 1)
+        phases = rng.uniform(0, 1, size=(b, n_voices * n_harm, 1)
+                             ).astype(np.float32)
+        chord = np.sum(amps * sin_cycles(freqs * t + phases), axis=1)
+        env_hz = rng.uniform(0.3, 3.0, size=(b, 1)).astype(np.float32)
+        chord *= 0.5 * (1.0 + sin_cycles(env_hz * t))             # slow AM
+
+        # --- pitch glide with formant-like resonance ------------------------
+        fa = np.exp(rng.uniform(np.log(80.0), np.log(2000.0),
+                                size=(b, 1))).astype(np.float32)
+        fb = np.exp(rng.uniform(np.log(80.0), np.log(2000.0),
+                                size=(b, 1))).astype(np.float32)
+        # f(t) = fa + (fb-fa) t/dur  ->  cycles(t) = fa t + (fb-fa) t^2/(2 dur)
+        inst_f = fa + (fb - fa) * (t / np.float32(dur))
+        cyc = fa * t + (fb - fa) * t * t / np.float32(2 * dur)
+        formant = np.exp(rng.uniform(np.log(300.0), np.log(3000.0),
+                                     size=(b, 1))).astype(np.float32)
+        reso = np.exp(-np.square(np.log(inst_f / formant))
+                      / np.float32(2 * 0.5 ** 2)).astype(np.float32)
+        glide = (reso * (sin_cycles(cyc)
+                         + 0.4 * sin_cycles(2 * cyc))).astype(np.float32)
+        glide *= (rng.random((b, 1)) < 0.5)
+
+        # --- percussive transients ------------------------------------------
+        t0 = rng.uniform(0.0, 0.9 * dur, size=(b, n_events, 1)
+                         ).astype(np.float32)
+        tau = np.exp(rng.uniform(np.log(0.003), np.log(0.08),
+                                 size=(b, n_events, 1))).astype(np.float32)
+        hit_on = (rng.random((b, n_events, 1)) < 0.6).astype(np.float32)
+        age = t - t0                                               # [B, E, T]
+        env = np.where(age >= 0, np.exp(-np.maximum(age, 0) / tau),
+                       np.float32(0.0)).astype(np.float32) * hit_on
+        f_hit = np.exp(rng.uniform(np.log(60.0), np.log(3000.0),
+                                   size=(b, n_events, 1))).astype(np.float32)
+        tone_mix = rng.uniform(0.0, 1.0, size=(b, n_events, 1)
+                               ).astype(np.float32)
+        burst_noise = rng.standard_normal((b, n_events, frame_size),
+                                          dtype=np.float32)
+        perc = np.sum(env * (tone_mix * sin_cycles(f_hit * age)
+                             + (1 - tone_mix) * burst_noise), axis=1)
+
+        # --- broadband 1/f^alpha noise bed ----------------------------------
+        white = rng.standard_normal((b, frame_size), dtype=np.float32)
+        spec = np.fft.rfft(white, axis=-1)
+        fbin = np.arange(spec.shape[-1], dtype=np.float32)
+        fbin[0] = 1.0
+        alpha = rng.uniform(0.0, 1.5, size=(b, 1)).astype(np.float32)
+        bed = np.fft.irfft(spec * fbin ** (-alpha / 2), n=frame_size,
+                           axis=-1).astype(np.float32)
+        bed /= (np.std(bed, axis=-1, keepdims=True) + 1e-6)
+        bed *= np.exp(rng.uniform(np.log(0.002), np.log(0.08),
+                                  size=(b, 1))).astype(np.float32)
+
+        # --- mix, gate, stereo ----------------------------------------------
+        comp = np.stack([chord, glide, perc, bed], axis=1)        # [B, K, T]
+        levels = rng.dirichlet(np.ones(4) * 0.8, size=b
+                               ).astype(np.float32)[..., None]
+        comp *= levels
+        gate_on = rng.random((b, 1)) < 0.35
+        onset = rng.uniform(0.0, 0.5 * dur, size=(b, 1)).astype(np.float32)
+        ramp = np.float32(0.005)
+        gate = np.clip((t - onset) / ramp, 0.0, 1.0).astype(np.float32)
+        gate = np.where(gate_on, 0.5 - 0.5 * np.cos(np.pi * gate),
+                        np.float32(1.0)).astype(np.float32)
+        pan = rng.uniform(0.1, 0.9, size=(b, 4, 1)).astype(np.float32)
+        left = np.sum(comp * np.sqrt(pan), axis=1) * gate
+        right = np.sum(comp * np.sqrt(1 - pan), axis=1) * gate
+        out = np.stack([left, right], axis=-1)                    # [B, T, 2]
+        peak = np.max(np.abs(out), axis=(1, 2), keepdims=True)
+        target = rng.uniform(0.25, 0.9, size=(b, 1, 1)).astype(np.float32)
+        yield (out * target / (peak + 1e-6)).astype(np.float32)
+
+
+SYNTHETIC_FAMILIES = {
+    "tonal": synthetic_audio_pipeline,
+    "rich": synthetic_audio_pipeline_rich,
+}
+
+
+def synthetic_pipeline_for_family(family: str | None, **kwargs
+                                  ) -> Iterator[np.ndarray]:
+    """Dispatch on the ``synthetic_family`` knob ('tonal' default)."""
+    name = family or "tonal"
+    if name not in SYNTHETIC_FAMILIES:
+        raise ValueError(f"Unknown synthetic_family: {name!r}. "
+                         f"Choose from {sorted(SYNTHETIC_FAMILIES)}")
+    return SYNTHETIC_FAMILIES[name](**kwargs)
+
+
 def replay_pool_batches(stream: Iterator[np.ndarray],
                         pool_batches: int = 64,
                         seed: int = 0,

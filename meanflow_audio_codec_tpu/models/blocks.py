@@ -158,7 +158,11 @@ class GlobalResponseNormalization(nn.Module):
         channels = x.shape[-1]
         gamma = self.param("gamma", nn.initializers.zeros, (channels,))
         beta = self.param("beta", nn.initializers.zeros, (channels,))
-        return (x * (gamma + nx.astype(x.dtype))
+        # cast params to the compute dtype BEFORE combining: f32 gamma would
+        # promote the whole [B, S, S, 2C] product to f32 (the widest tensor
+        # in the stage written+read at double width, measured in the MFU
+        # study); params remain f32 in the tree per the precision policy
+        return (x * (jnp.asarray(gamma, dtype=x.dtype) + nx.astype(x.dtype))
                 + jnp.asarray(beta, dtype=x.dtype))
 
 

@@ -73,15 +73,16 @@ def _fusable(batch: int, positions: int, channels: int, dtype) -> bool:
     if dtype not in (jnp.float32, jnp.bfloat16):
         return False
     return (channels % _LANE == 0 and positions % (2 * _SUBLANE) == 0
-            and batch >= 1)
+            and batch % _SUBLANE == 0)
 
 
 def _batch_tile(batch: int, positions: int, channels: int) -> int:
     """Largest power-of-two divisor of ``batch`` whose f32 working set fits
-    the VMEM budget."""
+    the VMEM budget (floor 8 so [batch, stat] output blocks stay
+    sublane-aligned; tiny batches fall back before reaching the kernel)."""
     per_item = positions * channels * 4 * 3  # x32, temps, y
-    cap = max(1, _VMEM_BUDGET_BYTES // max(per_item, 1))
-    bt = 1
+    cap = max(8, _VMEM_BUDGET_BYTES // max(per_item, 1))
+    bt = 8 if batch % 8 == 0 else 1
     while bt * 2 <= min(cap, 256) and batch % (bt * 2) == 0:
         bt *= 2
     return bt

@@ -27,12 +27,19 @@ def find_checkpoint_for(config) -> Path | None:
     return find_latest_checkpoint(workdir / "checkpoints")
 
 
-def load_real_data(config, num_samples: int) -> np.ndarray:
-    """Held-out raw data for conditioning + quality metrics."""
+def load_real_data(config, num_samples: int,
+                   synthetic_family: str | None = None) -> np.ndarray:
+    """Held-out raw data for conditioning + quality metrics.
+
+    Synthetic eval draws come from the generator family named by
+    ``synthetic_family`` (else the config's ``tokenization_config``
+    choice) at ``seed+1`` — unseen draws from the training family, or an
+    entirely unseen family when overridden (cross-family generalization).
+    """
     if config.dataset == "audio":
         from meanflow_audio_codec_tpu.data.audio import (
             build_audio_pipeline,
-            synthetic_audio_pipeline,
+            synthetic_pipeline_for_family,
         )
         tok_cfg = config.tokenization_config or {}
         frame_size = tok_cfg.get("frame_size", 65536)
@@ -41,8 +48,9 @@ def load_real_data(config, num_samples: int) -> np.ndarray:
                 config.data_dir, seed=config.seed + 1,
                 frame_size=frame_size, batch_size=num_samples)
         else:
-            pipeline = synthetic_audio_pipeline(
-                seed=config.seed + 1, frame_size=frame_size,
+            family = synthetic_family or tok_cfg.get("synthetic_family")
+            pipeline = synthetic_pipeline_for_family(
+                family, seed=config.seed + 1, frame_size=frame_size,
                 batch_size=num_samples)
         return next(iter(pipeline))
     from meanflow_audio_codec_tpu.data.mnist import load_mnist
@@ -51,14 +59,16 @@ def load_real_data(config, num_samples: int) -> np.ndarray:
 
 
 def evaluate_config(config_path: Path, nfe_list: list[int],
-                    num_samples: int, csv_path: Path | None) -> dict | None:
+                    num_samples: int, csv_path: Path | None,
+                    synthetic_family: str | None = None) -> dict | None:
     config = load_config_from_json(config_path)
     checkpoint = find_checkpoint_for(config)
     if checkpoint is None:
         print(f"skip {config_path.name}: no checkpoint under "
               f"{config.workdir}")
         return None
-    data = load_real_data(config, num_samples)
+    data = load_real_data(config, num_samples,
+                          synthetic_family=synthetic_family)
     evaluator = ComprehensiveEvaluator(checkpoint, config, nfe_list=nfe_list,
                                        num_samples=num_samples)
     results = evaluator.evaluate(data)
@@ -95,6 +105,9 @@ def main(argv: list[str] | None = None) -> int:
                         default=list(DEFAULT_NFE_SWEEP))
     parser.add_argument("--num-samples", type=int, default=64)
     parser.add_argument("--csv", type=Path, default=Path("metrics.csv"))
+    parser.add_argument("--synthetic-family", type=str, default=None,
+                        help="override the synthetic eval generator family "
+                             "(e.g. 'rich') for cross-family generalization")
     args = parser.parse_args(argv)
 
     config_paths = sorted(args.configs.glob("*.json"))
@@ -104,8 +117,9 @@ def main(argv: list[str] | None = None) -> int:
     evaluated = 0
     for path in config_paths:
         try:
-            if evaluate_config(path, args.nfe, args.num_samples,
-                               args.csv) is not None:
+            if evaluate_config(path, args.nfe, args.num_samples, args.csv,
+                               synthetic_family=args.synthetic_family
+                               ) is not None:
                 evaluated += 1
         except Exception as exc:
             print(f"FAILED {path.name}: {exc}")

@@ -39,7 +39,7 @@ from meanflow_audio_codec_tpu.data.audio import (
     build_audio_pipeline,
     prefetch_batches,
     replay_pool_batches,
-    synthetic_audio_pipeline,
+    synthetic_pipeline_for_family,
     write_wav,
 )
 from meanflow_audio_codec_tpu.data.mnist import load_mnist
@@ -120,9 +120,9 @@ def make_dataset_iterator(config: TrainFlowConfig) -> Iterator[np.ndarray]:
                 config.data_dir, seed=config.seed, frame_size=frame_size,
                 batch_size=config.batch_size)
         print("No audio data_dir found; using synthetic audio source")
-        source = synthetic_audio_pipeline(seed=config.seed,
-                                          frame_size=frame_size,
-                                          batch_size=config.batch_size)
+        source = synthetic_pipeline_for_family(
+            tok_cfg.get("synthetic_family"), seed=config.seed,
+            frame_size=frame_size, batch_size=config.batch_size)
         # synthesis runs ~100x realtime on this host's single CPU while a
         # high-MFU train step consumes ~700x — decouple via a replay pool
         # whose slots a daemon thread keeps refreshing (data/audio.py)

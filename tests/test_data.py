@@ -115,6 +115,52 @@ def test_synthetic_pipeline_sine_reduction_accuracy():
     assert np.abs(ref - got).max() < 1e-5
 
 
+def test_synthetic_rich_family_shape_and_stats():
+    from meanflow_audio_codec_tpu.data.audio import (
+        synthetic_audio_pipeline_rich,
+        synthetic_pipeline_for_family,
+    )
+    it = synthetic_audio_pipeline_rich(seed=0, frame_size=2048, batch_size=4)
+    frames = next(it)
+    assert frames.shape == (4, 2048, 2)
+    assert frames.dtype == np.float32
+    assert np.isfinite(frames).all()
+    # peak-normalized into [0.25, 0.9]
+    peaks = np.abs(frames).max(axis=(1, 2))
+    assert (peaks <= 0.9 + 1e-4).all() and (peaks >= 0.25 - 1e-4).all()
+    # deterministic per seed, distinct across seeds
+    again = next(synthetic_audio_pipeline_rich(seed=0, frame_size=2048,
+                                               batch_size=4))
+    assert np.array_equal(frames, again)
+    other = next(synthetic_audio_pipeline_rich(seed=1, frame_size=2048,
+                                               batch_size=4))
+    assert not np.array_equal(frames, other)
+    # dispatcher: default is the tonal family; unknown names raise
+    tonal = next(synthetic_pipeline_for_family(None, seed=0, frame_size=2048,
+                                               batch_size=4))
+    assert not np.array_equal(frames, tonal)
+    rich = next(synthetic_pipeline_for_family("rich", seed=0, frame_size=2048,
+                                              batch_size=4))
+    assert np.array_equal(frames, rich)
+    with pytest.raises(ValueError):
+        synthetic_pipeline_for_family("nope")
+
+
+def test_synthetic_rich_family_has_transient_structure():
+    """Rich clips must contain onset structure tonal clips lack: at least
+    one clip in a batch with a large short-window crest factor."""
+    from meanflow_audio_codec_tpu.data.audio import (
+        synthetic_audio_pipeline_rich,
+    )
+    frames = next(synthetic_audio_pipeline_rich(seed=3, frame_size=16384,
+                                                batch_size=8))
+    mono = frames.mean(axis=-1)                       # [B, T]
+    win = mono.reshape(mono.shape[0], -1, 512)        # [B, W, 512]
+    rms = np.sqrt(np.mean(np.square(win), axis=-1) + 1e-12)
+    crest = rms.max(axis=-1) / (np.median(rms, axis=-1) + 1e-6)
+    assert crest.max() > 3.0
+
+
 def test_prefetch_batches_preserves_stream():
     src = [np.full((2, 4), i, np.float32) for i in range(7)]
     out = list(prefetch_batches(iter(src), depth=2))
