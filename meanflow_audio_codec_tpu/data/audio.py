@@ -33,7 +33,11 @@ import numpy as np
 
 TARGET_SAMPLE_RATE = 44100
 DEFAULT_FRAME_SIZE = 256 * 256 * 3  # ~4.46 s @ 44.1 kHz (reference audio.py:38)
-AUDIO_EXTENSIONS = (".wav", ".mp3")
+AUDIO_EXTENSIONS = (".wav", ".aiff", ".aif", ".mp3")
+
+#: extensions the first-party native core decodes (container-magic
+#: dispatch in native/dataloader.cpp — the pluggable-decoder seam).
+NATIVE_EXTENSIONS = (".wav", ".aiff", ".aif")
 
 
 # ============================================================================
@@ -59,7 +63,18 @@ def _decode_wav(path: Path) -> tuple[np.ndarray, int] | None:
     return audio, rate
 
 
+def _decode_aiff(path: Path) -> tuple[np.ndarray, int] | None:
+    """AIFF/AIFC via the native core's IFF parser (dataloader.cpp)."""
+    from meanflow_audio_codec_tpu.data import native as native_mod
+    if not native_mod.available():
+        return None
+    return native_mod.decode_audio_native(path)
+
+
 def _decode_mp3(path: Path) -> tuple[np.ndarray, int] | None:
+    # UNTESTED in this image: minimp3py is not installed and no MP3 corpus
+    # ships — this path has never executed here. It mirrors the reference's
+    # optional decoder hook (reference datasets/audio.py:93-132).
     try:
         import minimp3py
     except ImportError:
@@ -68,7 +83,10 @@ def _decode_mp3(path: Path) -> tuple[np.ndarray, int] | None:
     return np.asarray(data, dtype=np.float32).T, int(rate)
 
 
-_DECODERS: dict[str, Callable] = {".wav": _decode_wav, ".mp3": _decode_mp3}
+_DECODERS: dict[str, Callable] = {".wav": _decode_wav,
+                                  ".aiff": _decode_aiff,
+                                  ".aif": _decode_aiff,
+                                  ".mp3": _decode_mp3}
 
 
 def load_audio_file(path: Path,
@@ -174,11 +192,13 @@ def _load_audio_files_threaded(files, prefetch, target_rate, loop):
             yield item
     finally:
         stop.set()
-        # drain so a producer blocked in put() wakes and sees the flag
+        # drain so a producer blocked in put() wakes and sees the flag.
+        # BaseException guard (not queue.Empty): at interpreter shutdown the
+        # module global may already be torn down when the generator closes.
         try:
             while True:
                 q.get_nowait()
-        except queue.Empty:
+        except BaseException:
             pass
 
 
@@ -244,7 +264,7 @@ def build_audio_pipeline(data_dir: str | Path, seed: int = 0,
     if not files:
         raise FileNotFoundError(f"No audio files under {data_dir}")
     if native is None or native:
-        all_wav = all(f.suffix.lower() == ".wav" for f in files)
+        all_wav = all(f.suffix.lower() in NATIVE_EXTENSIONS for f in files)
         if all_wav or native:
             from meanflow_audio_codec_tpu.data import native as native_mod
             if native_mod.available():

@@ -87,6 +87,8 @@ def _load() -> ctypes.CDLL | None:
         lib.mac_decode_wav.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_float), ctypes.c_long,
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+        lib.mac_decode_audio.restype = ctypes.c_long
+        lib.mac_decode_audio.argtypes = lib.mac_decode_wav.argtypes
         _lib = lib
         return _lib
 
@@ -101,30 +103,35 @@ def load_error() -> str | None:
 
 
 def _wav_sample_bound(path: Path) -> int | None:
-    """Exact interleaved-sample count from the WAV header, or None.
+    """Exact interleaved-sample count from the WAV/AIFF header, or None.
 
-    Scans RIFF chunks for ``fmt `` (bits per sample) and ``data`` (byte
-    size) so the float32 scratch buffer is sized to the real payload —
+    Scans the container chunks for bits-per-sample and the payload byte
+    size so the float32 scratch buffer is sized to the real payload —
     a byte-count bound over-allocates 8x for 16-bit PCM (4 bytes of f32
     scratch per payload byte vs the 2-bytes-per-sample truth)."""
     try:
         with open(path, "rb") as f:
-            if f.read(12)[:4] != b"RIFF":
+            magic = f.read(12)[:4]
+            if magic == b"RIFF":
+                order, fmt_id, data_id, bits_off = "little", b"fmt ", b"data", 14
+            elif magic == b"FORM":
+                order, fmt_id, data_id, bits_off = "big", b"COMM", b"SSND", 6
+            else:
                 return None
             bytes_per = None
             for _ in range(64):  # bounded chunk scan
                 head = f.read(8)
                 if len(head) < 8:
                     return None
-                size = int.from_bytes(head[4:8], "little")
-                if head[:4] == b"fmt " and size >= 16:
+                size = int.from_bytes(head[4:8], order)
+                if head[:4] == fmt_id and size >= bits_off + 2:
                     fmt = f.read(min(size, 4096))
-                    bits = int.from_bytes(fmt[14:16], "little")
+                    bits = int.from_bytes(fmt[bits_off:bits_off + 2], order)
                     if bits not in (8, 16, 24, 32):
                         return None
                     bytes_per = bits // 8
                     f.seek(max(size - 4096, 0) + (size & 1), 1)
-                elif head[:4] == b"data" and bytes_per:
+                elif head[:4] == data_id and bytes_per:
                     return max(size // bytes_per, 64)
                 else:
                     f.seek(size + (size & 1), 1)
@@ -136,12 +143,13 @@ def _wav_sample_bound(path: Path) -> int | None:
 def decode_wav_native(path: Path | str,
                       max_samples: int | None = None
                       ) -> tuple[np.ndarray, int] | None:
-    """Decode one WAV via the native parser -> ((C, T) float32, rate).
+    """Decode one WAV or AIFF/AIFC via the native parser
+    -> ((C, T) float32, rate).
 
-    ``max_samples`` defaults to the exact sample count read from the WAV
-    header (falling back to the file byte size capped at 256 Mi samples),
-    so the float32 scratch buffer is sized to the real payload — never a
-    multi-GB allocation for a large file.
+    ``max_samples`` defaults to the exact sample count read from the
+    container header (falling back to the file byte size capped at 256 Mi
+    samples), so the float32 scratch buffer is sized to the real payload —
+    never a multi-GB allocation for a large file.
     """
     lib = _load()
     if lib is None:
@@ -156,13 +164,17 @@ def decode_wav_native(path: Path | str,
     buf = np.empty(max_samples, dtype=np.float32)
     channels = ctypes.c_int()
     rate = ctypes.c_int()
-    n = lib.mac_decode_wav(
+    n = lib.mac_decode_audio(
         str(path).encode(), buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         max_samples, ctypes.byref(channels), ctypes.byref(rate))
     if n < 0:
         return None
     interleaved = buf[:n].reshape(-1, channels.value)
     return np.ascontiguousarray(interleaved.T), rate.value
+
+
+#: container-sniffing decode (WAV or AIFF/AIFC) — same contract.
+decode_audio_native = decode_wav_native
 
 
 class NativeAudioLoader:

@@ -8,8 +8,11 @@
 // sampling and multi-threaded prefetch, exposed through a minimal C ABI for
 // ctypes binding (no pybind11 in this image).
 //
-//   decode   : 16/24/32-bit PCM + IEEE float WAV (RIFF parser); files at
-//              the wrong sample rate are skipped, mono duplicates to stereo
+//   decode   : 8/16/24/32-bit PCM + IEEE float WAV (RIFF parser) and
+//              8/16/24/32-bit PCM AIFF / AIFC-NONE/sowt (IFF parser),
+//              dispatched on the container magic (the pluggable-decoder
+//              seam); files at the wrong sample rate are skipped, mono
+//              duplicates to stereo
 //   framing  : random 0..frame_size prepend offset, zero pad to a frame
 //              multiple (reference audio.py:265-278 semantics)
 //   shuffle  : fixed-capacity reservoir with O(1) swap-and-pop eviction
@@ -22,6 +25,7 @@
 
 #include <algorithm>
 #include <atomic>
+#include <cmath>
 #include <condition_variable>
 #include <cstdint>
 #include <cstdio>
@@ -56,6 +60,22 @@ uint32_t le32(const unsigned char* p) {
   return p[0] | (p[1] << 8) | (p[2] << 16) | (uint32_t(p[3]) << 24);
 }
 uint16_t le16(const unsigned char* p) { return p[0] | (p[1] << 8); }
+uint32_t be32(const unsigned char* p) {
+  return (uint32_t(p[0]) << 24) | (p[1] << 16) | (p[2] << 8) | p[3];
+}
+uint16_t be16(const unsigned char* p) { return (p[0] << 8) | p[1]; }
+
+// IEEE 754 80-bit extended float (AIFF COMM sampleRate): 1 sign, 15
+// exponent, 64 explicit-integer-bit mantissa.
+double read_extended80(const unsigned char* p) {
+  const int sign = (p[0] & 0x80) ? -1 : 1;
+  const int exponent = ((p[0] & 0x7f) << 8) | p[1];
+  uint64_t mantissa = 0;
+  for (int i = 0; i < 8; ++i) mantissa = (mantissa << 8) | p[2 + i];
+  if (exponent == 0 && mantissa == 0) return 0.0;
+  if (exponent == 0x7fff) return 0.0;  // inf/nan: not a sample rate
+  return sign * std::ldexp(double(mantissa), exponent - 16383 - 63);
+}
 
 bool decode_wav(const char* path, WavData* out) {
   FILE* f = fopen(path, "rb");
@@ -137,6 +157,133 @@ bool decode_wav(const char* path, WavData* out) {
 }
 
 // ---------------------------------------------------------------------------
+// AIFF / AIFC decoding (IFF big-endian parser)
+// ---------------------------------------------------------------------------
+
+// 8/16/24/32-bit PCM AIFF, plus AIFC with "NONE" (big-endian) or "sowt"
+// (little-endian 16-bit, the Apple byte-swapped variant) compression.
+bool decode_aiff(const char* path, WavData* out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return false;
+  unsigned char hdr[12];
+  if (!read_exact(f, hdr, 12) || memcmp(hdr, "FORM", 4) ||
+      (memcmp(hdr + 8, "AIFF", 4) && memcmp(hdr + 8, "AIFC", 4))) {
+    fclose(f);
+    return false;
+  }
+  const bool is_aifc = !memcmp(hdr + 8, "AIFC", 4);
+  constexpr uint32_t kMaxCommChunk = 4096;
+  constexpr uint32_t kMaxDataChunk = 1u << 30;
+  uint16_t channels = 0, bits = 0;
+  uint32_t num_frames = 0;
+  int rate = 0;
+  bool little_endian = false;  // AIFC "sowt"
+  bool have_comm = false;
+  bool ok = false;
+  unsigned char chunk[8];
+  while (read_exact(f, chunk, 8)) {
+    uint32_t size = be32(chunk + 4);
+    if (!memcmp(chunk, "COMM", 4)) {
+      const uint32_t need = is_aifc ? 22u : 18u;
+      if (size < need || size > kMaxCommChunk) break;
+      std::vector<unsigned char> comm(size);
+      if (!read_exact(f, comm.data(), size)) break;
+      if ((size & 1) && fseek(f, 1, SEEK_CUR) != 0) break;  // IFF pad byte
+      channels = be16(comm.data());
+      num_frames = be32(comm.data() + 2);
+      bits = be16(comm.data() + 6);
+      rate = int(read_extended80(comm.data() + 8) + 0.5);
+      if (is_aifc) {
+        if (!memcmp(comm.data() + 18, "sowt", 4)) {
+          little_endian = true;
+          if (bits != 16) break;  // sowt is defined for 16-bit PCM
+        } else if (memcmp(comm.data() + 18, "NONE", 4)) {
+          break;  // compressed AIFC (ima4/ulaw/...) unsupported
+        }
+      }
+      if (bits != 8 && bits != 16 && bits != 24 && bits != 32) break;
+      if (channels == 0 || rate <= 0) break;
+      have_comm = true;
+    } else if (!memcmp(chunk, "SSND", 4) && have_comm) {
+      if (size < 8 || size > kMaxDataChunk) break;
+      unsigned char ssnd_hdr[8];
+      if (!read_exact(f, ssnd_hdr, 8)) break;
+      const uint32_t offset = be32(ssnd_hdr);  // alignment pad before data
+      if (offset > size - 8) break;
+      if (offset && fseek(f, long(offset), SEEK_CUR) != 0) break;
+      const size_t bytes_per = bits / 8;
+      const uint64_t payload = uint64_t(size) - 8 - offset;
+      uint64_t count = payload / bytes_per;
+      // trust COMM's frame count when it bounds the payload (files are
+      // sometimes padded past numSampleFrames)
+      const uint64_t comm_count = uint64_t(num_frames) * channels;
+      if (comm_count && comm_count < count) count = comm_count;
+      std::vector<unsigned char> raw(count * bytes_per);
+      if (!read_exact(f, raw.data(), raw.size())) break;
+      out->samples.resize(count);
+      if (bits == 8) {  // AIFF 8-bit is SIGNED (unlike WAV)
+        for (uint64_t i = 0; i < count; ++i)
+          out->samples[i] = float(int8_t(raw[i])) / 128.0f;
+      } else if (bits == 16 && little_endian) {
+        for (uint64_t i = 0; i < count; ++i) {
+          int16_t v;
+          memcpy(&v, raw.data() + i * 2, 2);
+          out->samples[i] = float(v) / 32768.0f;
+        }
+      } else if (bits == 16) {
+        for (uint64_t i = 0; i < count; ++i) {
+          const unsigned char* p = raw.data() + i * 2;
+          out->samples[i] = float(int16_t((p[0] << 8) | p[1])) / 32768.0f;
+        }
+      } else if (bits == 24) {
+        for (uint64_t i = 0; i < count; ++i) {
+          const unsigned char* p = raw.data() + i * 3;
+          const int32_t v = (int32_t(p[0]) << 24) | (p[1] << 16) | (p[2] << 8);
+          out->samples[i] = float(v >> 8) / 8388608.0f;
+        }
+      } else {  // 32
+        for (uint64_t i = 0; i < count; ++i) {
+          const unsigned char* p = raw.data() + i * 4;
+          const int32_t v = int32_t(be32(p));
+          out->samples[i] = float(v) / 2147483648.0f;
+        }
+      }
+      out->channels = channels;
+      out->sample_rate = rate;
+      ok = true;
+      break;
+    } else {
+      if (fseek(f, long(size + (size & 1)), SEEK_CUR) != 0) break;
+    }
+  }
+  fclose(f);
+  return ok && out->channels > 0;
+}
+
+// ---------------------------------------------------------------------------
+// Container dispatch — the pluggable-decoder seam. Each decoder owns one
+// magic number; an MP3 (or FLAC/Ogg) decoder plugs in as one more row.
+// The Python tier (data/audio.py) routes compressed formats it cannot
+// decode here to its optional minimp3py path and marks them skipped
+// otherwise — that path has never executed in this image (no minimp3py,
+// no MP3 corpus) and is labeled untested.
+// ---------------------------------------------------------------------------
+
+bool decode_audio(const char* path, WavData* out) {
+  unsigned char magic[4] = {0, 0, 0, 0};
+  {
+    FILE* f = fopen(path, "rb");
+    if (!f) return false;
+    const bool got = read_exact(f, magic, 4);
+    fclose(f);
+    if (!got) return false;
+  }
+  if (!memcmp(magic, "RIFF", 4)) return decode_wav(path, out);
+  if (!memcmp(magic, "FORM", 4)) return decode_aiff(path, out);
+  return false;
+}
+
+// ---------------------------------------------------------------------------
 // Loader
 // ---------------------------------------------------------------------------
 
@@ -172,7 +319,7 @@ struct Loader {
       }
       if (stop.load()) { producer_done(); return; }
       WavData wav;
-      if (!decode_wav(files[idx % files.size()].c_str(), &wav) ||
+      if (!decode_audio(files[idx % files.size()].c_str(), &wav) ||
           wav.sample_rate != target_rate) {
         files_skipped.fetch_add(1);
         continue;
@@ -304,6 +451,20 @@ long mac_decode_wav(const char* path, float* out, long cap, int* channels,
                     int* sample_rate) {
   WavData wav;
   if (!decode_wav(path, &wav)) return -1;
+  long n = long(wav.samples.size());
+  if (n > cap) n = cap;
+  memcpy(out, wav.samples.data(), sizeof(float) * n);
+  *channels = wav.channels;
+  *sample_rate = wav.sample_rate;
+  return n;
+}
+
+// Container-sniffing decode (WAV or AIFF/AIFC) — same contract as
+// mac_decode_wav.
+long mac_decode_audio(const char* path, float* out, long cap, int* channels,
+                      int* sample_rate) {
+  WavData wav;
+  if (!decode_audio(path, &wav)) return -1;
   long n = long(wav.samples.size());
   if (n > cap) n = cap;
   memcpy(out, wav.samples.data(), sizeof(float) * n);

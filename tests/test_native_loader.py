@@ -24,6 +24,107 @@ def corpus(tmp_path):
     return tmp_path
 
 
+def _extended80(value: float) -> bytes:
+    """IEEE 754 80-bit extended float (AIFF COMM sampleRate field)."""
+    import math
+    if value == 0:
+        return b"\x00" * 10
+    m, e = math.frexp(value)          # value = m * 2**e, 0.5 <= m < 1
+    exponent = e + 16382
+    mantissa = int(m * (1 << 64))
+    return exponent.to_bytes(2, "big") + mantissa.to_bytes(8, "big")
+
+
+def write_aiff(path, audio: np.ndarray, sample_rate: int = 44100,
+               bits: int = 16, sowt: bool = False) -> None:
+    """Minimal AIFF (or AIFC-sowt) writer for decoder tests."""
+    import struct
+    audio = np.asarray(audio, dtype=np.float32)
+    frames, ch = audio.shape
+    pcm = np.clip(audio, -1.0, 1.0)
+    if bits == 16:
+        ints = (pcm * 32767.0).astype("<i2" if sowt else ">i2")
+        data = ints.tobytes()
+    elif bits == 24:
+        v = (pcm * 8388607.0).astype(np.int32).reshape(-1)
+        raw = np.empty((v.size, 3), np.uint8)
+        raw[:, 0] = (v >> 16) & 0xFF
+        raw[:, 1] = (v >> 8) & 0xFF
+        raw[:, 2] = v & 0xFF
+        data = raw.tobytes()
+    elif bits == 8:
+        data = (pcm * 127.0).astype(np.int8).tobytes()
+    else:
+        raise ValueError(bits)
+    comm = (struct.pack(">hIh", ch, frames, bits) + _extended80(sample_rate))
+    form_type = b"AIFF"
+    if sowt:
+        form_type = b"AIFC"
+        comm += b"sowt" + b"\x00\x00"      # compressionType + empty pstring
+    ssnd = struct.pack(">II", 0, 0) + data
+    chunks = b""
+    if sowt:
+        chunks += b"FVER" + struct.pack(">I", 4) + struct.pack(">I", 0xA2805140)
+    for cid, body in ((b"COMM", comm), (b"SSND", ssnd)):
+        chunks += cid + struct.pack(">I", len(body)) + body
+        if len(body) & 1:
+            chunks += b"\x00"
+    with open(path, "wb") as f:
+        f.write(b"FORM" + struct.pack(">I", 4 + len(chunks)) + form_type
+                + chunks)
+
+
+def test_native_decode_aiff_matches_wav(tmp_path):
+    rng = np.random.default_rng(2)
+    audio = rng.uniform(-0.5, 0.5, (4096, 2)).astype(np.float32)
+    write_wav(tmp_path / "a.wav", audio)
+    write_aiff(tmp_path / "a.aiff", audio)
+    wav_dec = native.decode_audio_native(tmp_path / "a.wav")
+    aiff_dec = native.decode_audio_native(tmp_path / "a.aiff")
+    assert wav_dec is not None and aiff_dec is not None
+    np.testing.assert_array_equal(wav_dec[0], aiff_dec[0])
+    assert wav_dec[1] == aiff_dec[1] == 44100
+
+
+def test_native_decode_aifc_sowt_and_24bit(tmp_path):
+    rng = np.random.default_rng(3)
+    audio = rng.uniform(-0.5, 0.5, (2048, 2)).astype(np.float32)
+    write_aiff(tmp_path / "be.aiff", audio, bits=16)
+    write_aiff(tmp_path / "le.aifc", audio, bits=16, sowt=True)
+    write_aiff(tmp_path / "deep.aiff", audio, bits=24)
+    be = native.decode_audio_native(tmp_path / "be.aiff")
+    le = native.decode_audio_native(tmp_path / "le.aifc")
+    deep = native.decode_audio_native(tmp_path / "deep.aiff")
+    assert be is not None and le is not None and deep is not None
+    np.testing.assert_array_equal(be[0], le[0])  # endianness-exact
+    np.testing.assert_allclose(deep[0], audio.T, atol=2.0 / 8388608)
+
+
+def test_python_tier_decodes_aiff(tmp_path):
+    rng = np.random.default_rng(4)
+    audio = rng.uniform(-0.5, 0.5, (4096, 2)).astype(np.float32)
+    write_aiff(tmp_path / "x.aiff", audio)
+    decoded = load_audio_file(tmp_path / "x.aiff")
+    assert decoded is not None and decoded.shape[0] == 2
+    np.testing.assert_allclose(decoded, audio.T, atol=2.0 / 32768)
+
+
+def test_native_loader_mixed_containers(tmp_path):
+    rng = np.random.default_rng(5)
+    for i in range(2):
+        write_wav(tmp_path / f"w{i}.wav",
+                  rng.uniform(-0.5, 0.5, (44100, 2)).astype(np.float32))
+        write_aiff(tmp_path / f"a{i}.aiff",
+                   rng.uniform(-0.5, 0.5, (44100, 2)).astype(np.float32))
+    files = sorted(tmp_path.glob("*.wav")) + sorted(tmp_path.glob("*.aiff"))
+    loader = native.NativeAudioLoader(files, frame_size=16384, batch_size=4,
+                                      loop=False, n_threads=2, seed=0)
+    batches = list(loader)
+    assert len(batches) >= 2
+    assert loader.files_skipped == 0
+    loader.close()
+
+
 def test_native_decode_matches_python(corpus):
     path = sorted(corpus.glob("*.wav"))[0]
     decoded = native.decode_wav_native(path)
