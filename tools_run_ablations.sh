@@ -1,12 +1,15 @@
 #!/bin/bash
-# Run the 24-config ablation matrix at the matrix_mnist 2k-step budget,
-# then evaluate -> aggregate -> tables (VERDICT r2 item 6).
+# Run the ablation matrix (or a named subset) at the matrix_mnist 2k-step
+# budget (VERDICT r2 item 6). Evaluation runs separately
+# (tools.evaluate_all; can run on the CPU backend while the TPU trains).
 set -u
 cd /root/repo
-BUDGET="${1:-2000}"
-for cfg in configs/ablations/*.json; do
-  name=$(basename "$cfg" .json)
-  wd=$(python -c "import json,sys; print(json.load(open('$cfg'))['training']['workdir'])")
+BUDGET="${BUDGET:-2000}"
+SUBSET="${@:-$(ls configs/ablations | sed 's/\.json$//')}"
+for name in $SUBSET; do
+  cfg="configs/ablations/${name}.json"
+  [ -f "$cfg" ] || { echo "missing $cfg"; continue; }
+  wd=$(python -c "import json; print(json.load(open('$cfg'))['training']['workdir'])")
   if [ -f "$wd/summary.json" ]; then
     echo "skip $name (summary exists)"
     continue
@@ -18,13 +21,4 @@ for cfg in configs/ablations/*.json; do
   tail -2 "/tmp/ablation_${name}.log"
   [ $rc -ne 0 ] && echo "FAILED $name rc=$rc"
 done
-echo "=== evaluate_all ==="
-timeout 3600 python -u -m meanflow_audio_codec_tpu.tools.evaluate_all \
-  --configs configs/ablations --nfe 1 10 --num-samples 32 \
-  --csv outputs/ablations/metrics.csv 2>&1 | tail -30
-echo "=== aggregate + tables ==="
-timeout 600 python -u -m meanflow_audio_codec_tpu.tools.aggregate_results \
-  --csv outputs/ablations/metrics.csv --out outputs/ablations/aggregate.json
-timeout 600 python -u -m meanflow_audio_codec_tpu.tools.generate_tables \
-  --csv outputs/ablations/metrics.csv --out-dir outputs/ablations/tables
 echo DONE
