@@ -60,7 +60,9 @@ def load_real_data(config, num_samples: int,
 
 def evaluate_config(config_path: Path, nfe_list: list[int],
                     num_samples: int, csv_path: Path | None,
-                    synthetic_family: str | None = None) -> dict | None:
+                    synthetic_family: str | None = None,
+                    results_name: str = "evaluation_results.json"
+                    ) -> dict | None:
     config = load_config_from_json(config_path)
     checkpoint = find_checkpoint_for(config)
     if checkpoint is None:
@@ -72,7 +74,7 @@ def evaluate_config(config_path: Path, nfe_list: list[int],
     evaluator = ComprehensiveEvaluator(checkpoint, config, nfe_list=nfe_list,
                                        num_samples=num_samples)
     results = evaluator.evaluate(data)
-    results_path = Path(config.workdir) / "evaluation_results.json"
+    results_path = Path(config.workdir) / results_name
     evaluator.save_results(results, results_path)
     if csv_path is not None:
         for nfe_key, entry in results["nfe_sweep"].items():
@@ -108,6 +110,11 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--synthetic-family", type=str, default=None,
                         help="override the synthetic eval generator family "
                              "(e.g. 'rich') for cross-family generalization")
+    parser.add_argument("--results-name", type=str,
+                        default="evaluation_results.json",
+                        help="per-workdir results filename (use e.g. "
+                             "evaluation_results_rich.json so a cross-family "
+                             "pass never clobbers the in-family results)")
     args = parser.parse_args(argv)
 
     config_paths = sorted(args.configs.glob("*.json"))
@@ -118,8 +125,8 @@ def main(argv: list[str] | None = None) -> int:
     for path in config_paths:
         try:
             if evaluate_config(path, args.nfe, args.num_samples, args.csv,
-                               synthetic_family=args.synthetic_family
-                               ) is not None:
+                               synthetic_family=args.synthetic_family,
+                               results_name=args.results_name) is not None:
                 evaluated += 1
         except Exception as exc:
             print(f"FAILED {path.name}: {exc}")
