@@ -64,12 +64,21 @@ class AudioCodec:
     # ---- construction --------------------------------------------------------
     @classmethod
     def from_checkpoint(cls, checkpoint_path: Path | str,
-                        config: TrainFlowConfig) -> "AudioCodec":
+                        config: TrainFlowConfig,
+                        quantized: bool = False) -> "AudioCodec":
+        """``quantized`` serves the bf16 checkpoint through the dynamic
+        W8A8 int8 decode path (ops/quant.py) — same param tree, ~int8-MXU
+        decode throughput; the encoder stays bf16."""
+        if quantized:
+            options = dict(config.model.architecture_options or {})
+            options["quantized"] = True
+            config.model.architecture_options = options
         state, model = load_flow_state(checkpoint_path, config)
         return cls(state, model, config)
 
     @classmethod
-    def from_workdir(cls, workdir: Path | str) -> "AudioCodec":
+    def from_workdir(cls, workdir: Path | str,
+                     quantized: bool = False) -> "AudioCodec":
         """Load the newest valid checkpoint + saved config from a run dir."""
         workdir = Path(workdir)
         config = load_config_from_json(workdir / "config.json")
@@ -77,7 +86,7 @@ class AudioCodec:
         if checkpoint is None:
             raise FileNotFoundError(
                 f"no checkpoint under {workdir / 'checkpoints'}")
-        return cls.from_checkpoint(checkpoint, config)
+        return cls.from_checkpoint(checkpoint, config, quantized=quantized)
 
     # ---- parameters ----------------------------------------------------------
     @property

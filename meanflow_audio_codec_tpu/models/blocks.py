@@ -20,6 +20,10 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from meanflow_audio_codec_tpu.ops.quant import (
+    int8_conv_general_dilated,
+    int8_dot_general,
+)
 from meanflow_audio_codec_tpu.ops.stage_pallas import (
     fused_gelu_grn,
     fused_ln_film,
@@ -27,6 +31,16 @@ from meanflow_audio_codec_tpu.ops.stage_pallas import (
 )
 
 Dtype = Any
+
+
+def quant_injection(quantized: bool) -> tuple[dict, dict]:
+    """(Dense kwargs, Conv kwargs) routing matmuls through the dynamic
+    W8A8 int8 ops (ops/quant.py) when ``quantized`` — the param tree is
+    unchanged, so bf16 checkpoints load into the quantized model as-is."""
+    if not quantized:
+        return {}, {}
+    return ({"dot_general": int8_dot_general},
+            {"conv_general_dilated": int8_conv_general_dilated})
 
 
 def _as_rows(x: jnp.ndarray) -> tuple[jnp.ndarray, tuple[int, ...]]:
@@ -178,26 +192,32 @@ class ConvNeXtBlock(nn.Module):
     #: run the elementwise/normalization segments through the fused Pallas
     #: stage kernels (ops/stage_pallas.py); falls back to XLA off-TPU.
     fused_stage: bool = False
+    #: serve the three convs in dynamic W8A8 int8 (ops/quant.py) —
+    #: inference-only, identical param tree.
+    quantized: bool = False
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        _, qconv = quant_injection(self.quantized)
         residual = x
         h = nn.Conv(self.dim, kernel_size=(3, 3), padding="SAME",
-                    dtype=self.dtype)(x)
+                    dtype=self.dtype, **qconv)(x)
         if self.fused_stage:
             rows, shape = _as_rows(h)
             h = fused_ln_norm(rows, False).reshape(shape)
         else:
             h = _adaln_norm(h)
-        h = nn.Conv(2 * self.dim, kernel_size=(1, 1), dtype=self.dtype)(h)
+        h = nn.Conv(2 * self.dim, kernel_size=(1, 1), dtype=self.dtype,
+                    **qconv)(h)
         if self.fused_stage and self.use_grn:
             h = GlobalResponseNormalization(fused_gelu=True)(h)
         else:
             h = jax.nn.gelu(h, approximate=True)
             if self.use_grn:
                 h = GlobalResponseNormalization()(h)
-        h = nn.Conv(self.dim, kernel_size=(1, 1), dtype=self.dtype)(h)
+        h = nn.Conv(self.dim, kernel_size=(1, 1), dtype=self.dtype,
+                    **qconv)(h)
         if self.layer_scale_init_value > 0:
             gamma = self.param(
                 "layer_scale_gamma",

@@ -21,7 +21,12 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from meanflow_audio_codec_tpu.models.blocks import ConvNeXtBlock, FiLM, _adaln_norm
+from meanflow_audio_codec_tpu.models.blocks import (
+    ConvNeXtBlock,
+    FiLM,
+    _adaln_norm,
+    quant_injection,
+)
 from meanflow_audio_codec_tpu.ops.embeddings import dual_time_embedding
 
 
@@ -57,6 +62,9 @@ class ConvStage(nn.Module):
     #: fuse the norm/FiLM/GELU/GRN segments into Pallas kernels
     #: (ops/stage_pallas.py); XLA fallback off-TPU — numerics preserved.
     fused_stage: bool = False
+    #: dynamic W8A8 int8 matmuls/convs for serving (ops/quant.py);
+    #: inference-only — the trainer rejects it.
+    quantized: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -65,16 +73,20 @@ class ConvStage(nn.Module):
                    else math.isqrt(self.noise_dimension))
         channels = (self.channels if self.channels is not None
                     else min(16, self.condition_dimension // 4))
+        qdense, qconv = quant_injection(self.quantized)
         residual = x
-        h = nn.Dense(self.bottleneck_dim, dtype=self.dtype)(x)
+        h = nn.Dense(self.bottleneck_dim, dtype=self.dtype, **qdense)(x)
         h = jax.nn.gelu(h, approximate=True)
         if self.lift_channels is not None:
             c0 = self.lift_channels
-            h = nn.Dense(spatial * spatial * c0, dtype=self.dtype)(h)
+            h = nn.Dense(spatial * spatial * c0, dtype=self.dtype,
+                         **qdense)(h)
             h = h.reshape(h.shape[0], spatial, spatial, c0)
-            h = nn.Conv(channels, kernel_size=(1, 1), dtype=self.dtype)(h)
+            h = nn.Conv(channels, kernel_size=(1, 1), dtype=self.dtype,
+                        **qconv)(h)
         else:
-            h = nn.Dense(spatial * spatial * channels, dtype=self.dtype)(h)
+            h = nn.Dense(spatial * spatial * channels, dtype=self.dtype,
+                         **qdense)(h)
             h = h.reshape(h.shape[0], spatial, spatial, channels)
         if self.fused_stage:
             h = FiLM(channels, fuse_norm=True, dtype=self.dtype)(h, condition)
@@ -83,14 +95,15 @@ class ConvStage(nn.Module):
             h = FiLM(channels, dtype=self.dtype)(h, condition)
         h = ConvNeXtBlock(dim=channels, use_grn=self.use_grn,
                           fused_stage=self.fused_stage,
+                          quantized=self.quantized,
                           dtype=self.dtype)(h)
         if self.lift_channels is not None:
             h = nn.Conv(self.lift_channels, kernel_size=(1, 1),
-                        dtype=self.dtype)(h)
+                        dtype=self.dtype, **qconv)(h)
         h = h.reshape(residual.shape[0], -1)
-        h = nn.Dense(self.bottleneck_dim, dtype=self.dtype)(h)
+        h = nn.Dense(self.bottleneck_dim, dtype=self.dtype, **qdense)(h)
         h = jax.nn.gelu(h, approximate=True)
-        h = nn.Dense(self.noise_dimension, dtype=self.dtype)(h)
+        h = nn.Dense(self.noise_dimension, dtype=self.dtype, **qdense)(h)
         return h / self.num_blocks + residual
 
 
@@ -144,6 +157,10 @@ class ConditionalConvFlow(nn.Module):
     lift_channels: int | None = None
     #: fused Pallas stage kernels (see ConvStage.fused_stage).
     fused_stage: bool = False
+    #: dynamic W8A8 int8 decode for serving (see ConvStage.quantized);
+    #: the encoder and conditioning projections stay bf16 — they are a
+    #: negligible FLOP fraction and set the latent fidelity floor.
+    quantized: bool = False
     #: rematerialise each decoder stage in the backward pass (per-block
     #: jax.checkpoint — required for codec-scale batches in HBM).
     remat: bool = False
@@ -171,6 +188,7 @@ class ConditionalConvFlow(nn.Module):
                 spatial=self.spatial,
                 lift_channels=self.lift_channels,
                 fused_stage=self.fused_stage,
+                quantized=self.quantized,
                 dtype=self.dtype,
             )
             for _ in range(self.num_blocks)

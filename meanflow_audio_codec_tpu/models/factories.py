@@ -52,6 +52,7 @@ def create_conv_flow(noise_dimension: int, latent_dimension: int,
                      remat: bool = False,
                      remat_policy: str | None = None,
                      fused_stage: bool = False,
+                     quantized: bool = False,
                      dtype=jnp.float32) -> ConditionalConvFlow:
     return ConditionalConvFlow(
         noise_dimension=noise_dimension,
@@ -67,6 +68,7 @@ def create_conv_flow(noise_dimension: int, latent_dimension: int,
         remat=remat,
         remat_policy=remat_policy,
         fused_stage=fused_stage,
+        quantized=quantized,
         dtype=dtype,
     )
 

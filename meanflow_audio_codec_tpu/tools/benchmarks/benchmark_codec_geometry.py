@@ -28,7 +28,7 @@ CLIP_SECONDS = 10.0
 
 def bench_geometry(name: str, *, batch_clips: int = 16, iters: int = 10,
                    groups: int = 3, clip_seconds: float = CLIP_SECONDS,
-                   **model_kwargs) -> dict:
+                   quantized: bool = False, **model_kwargs) -> dict:
     from meanflow_audio_codec_tpu.models import ConditionalConvFlow
     from meanflow_audio_codec_tpu.ops import MDCTConfig, MDCTTokenization
     from meanflow_audio_codec_tpu.training.profiling import force_completion
@@ -40,6 +40,7 @@ def bench_geometry(name: str, *, batch_clips: int = 16, iters: int = 10,
     model = ConditionalConvFlow(noise_dimension=noise_dim,
                                 condition_dimension=256,
                                 latent_dimension=256,
+                                quantized=quantized,
                                 dtype=jnp.bfloat16, **model_kwargs)
 
     rng = np.random.default_rng(0)
@@ -73,7 +74,7 @@ def bench_geometry(name: str, *, batch_clips: int = 16, iters: int = 10,
     wall = min(walls)
     n_params = sum(int(np.size(p)) for p in jax.tree_util.tree_leaves(params))
     audio_seconds = batch_clips * clip_seconds
-    return {"config": name, **model_kwargs,
+    return {"config": name, **model_kwargs, "quantized": quantized,
             "params_m": round(n_params / 1e6, 1),
             "wall_ms": round(wall * 1e3, 1),
             "rtf": round(audio_seconds / wall, 1)}
@@ -85,6 +86,11 @@ CONFIGS = {
     # the train-side winners, at inference scale
     "ch256_s8_lift32": dict(num_blocks=8, channels=256, bottleneck_dim=512,
                             spatial=8, lift_channels=32),
+    # quality-run v1 geometry (+13.1 dB held-out SI-SNR at 30k steps,
+    # outputs/imf_audio_quality) — the cheap end of the measured
+    # quality/RTF frontier in documentation/performance.md
+    "ch128_s16_lift16": dict(num_blocks=8, channels=128, bottleneck_dim=512,
+                             spatial=16, lift_channels=16),
     "ch512_s8_lift64": dict(num_blocks=8, channels=512, bottleneck_dim=512,
                             spatial=8, lift_channels=64),
     "ch512_s8_lift64_bn1024": dict(num_blocks=8, channels=512,
@@ -101,11 +107,15 @@ def main(argv: list[str] | None = None) -> int:
                         choices=list(CONFIGS))
     parser.add_argument("--batch-clips", type=int, default=16)
     parser.add_argument("--clip-seconds", type=float, default=CLIP_SECONDS)
+    parser.add_argument("--quantized", action="store_true",
+                        help="serve the decode matmuls/convs in dynamic "
+                             "W8A8 int8 (ops/quant.py)")
     args = parser.parse_args(argv)
     for name in args.configs:
         try:
             row = bench_geometry(name, batch_clips=args.batch_clips,
                                  clip_seconds=args.clip_seconds,
+                                 quantized=args.quantized,
                                  **CONFIGS[name])
         except Exception as exc:
             row = {"config": name,

@@ -61,9 +61,15 @@ def load_real_data(config, num_samples: int,
 def evaluate_config(config_path: Path, nfe_list: list[int],
                     num_samples: int, csv_path: Path | None,
                     synthetic_family: str | None = None,
-                    results_name: str = "evaluation_results.json"
-                    ) -> dict | None:
+                    results_name: str = "evaluation_results.json",
+                    quantized: bool = False) -> dict | None:
     config = load_config_from_json(config_path)
+    if quantized:
+        # serve the bf16 checkpoint through the dynamic-int8 decode path
+        # (ops/quant.py) — identical param tree, so the load is unchanged
+        options = dict(config.model.architecture_options or {})
+        options["quantized"] = True
+        config.model.architecture_options = options
     checkpoint = find_checkpoint_for(config)
     if checkpoint is None:
         print(f"skip {config_path.name}: no checkpoint under "
@@ -115,6 +121,9 @@ def main(argv: list[str] | None = None) -> int:
                         help="per-workdir results filename (use e.g. "
                              "evaluation_results_rich.json so a cross-family "
                              "pass never clobbers the in-family results)")
+    parser.add_argument("--quantized", action="store_true",
+                        help="serve checkpoints through the int8 W8A8 "
+                             "decode path (convnet family only)")
     args = parser.parse_args(argv)
 
     config_paths = sorted(args.configs.glob("*.json"))
@@ -126,7 +135,8 @@ def main(argv: list[str] | None = None) -> int:
         try:
             if evaluate_config(path, args.nfe, args.num_samples, args.csv,
                                synthetic_family=args.synthetic_family,
-                               results_name=args.results_name) is not None:
+                               results_name=args.results_name,
+                               quantized=args.quantized) is not None:
                 evaluated += 1
         except Exception as exc:
             print(f"FAILED {path.name}: {exc}")

@@ -243,6 +243,13 @@ def train_flow(config: TrainFlowConfig, resume: bool = False) -> dict:
     save_json(config.to_dict(), config_path)
 
     # ---- model / optimizer / state -----------------------------------------
+    if (getattr(config.model, "architecture_options", None)
+            or {}).get("quantized"):
+        raise ValueError(
+            "architecture_options.quantized is a serving-only knob: the int8 "
+            "rounding has zero gradient a.e. and would silence the mean-flow "
+            "JVP. Train in bf16 and pass quantized=True at load/eval time "
+            "(tools.evaluate_all --quantized, AudioCodec(quantized=True)).")
     model = create_flow_model(config)
     tx = make_optimizer(config)
     rng = jax.random.PRNGKey(config.seed)
