@@ -117,3 +117,39 @@ def test_benchmark_audio_decoders(tmp_path, capsys):
     wave_row = by_backend["stdlib_wave"]
     assert wave_row["files"] == 3 and wave_row["files_per_sec"] > 0
     assert by_backend["minimp3py"].get("skipped")  # no mp3 files in corpus
+
+
+def test_ablation_tables(tmp_path):
+    from meanflow_audio_codec_tpu.tools.ablation_tables import (
+        build_family_tables,
+        main as ablation_main,
+        parse_knob,
+    )
+
+    assert parse_knob("ablation--gamma=0.5") == ("gamma", "0.5")
+    assert parse_knob("ablation--no_stop_gradient") == ("stop_gradient",
+                                                        "False")
+    assert parse_knob("ablation--unweighted_loss") == ("loss_weighting",
+                                                       "unweighted")
+    assert parse_knob("matrix--foo") is None
+
+    csv_path = tmp_path / "metrics.csv"
+    csv_path.write_text(
+        "config,nfe,mse,psnr_db\n"
+        "ablation--gamma=1.0,1,0.10,16.0\n"
+        "ablation--gamma=0.5,1,0.20,13.0\n"
+        "ablation--gamma=0.5,10,0.15,14.0\n"
+        "ablation--no_stop_gradient,1,0.30,11.0\n")
+    rows = [dict(r) for r in __import__("csv").DictReader(
+        csv_path.open())]
+    tables = build_family_tables(rows)
+    assert set(tables) == {"gamma", "stop_gradient"}
+    gamma = tables["gamma"]
+    # numeric sort: 0.5 row before 1.0 row; missing nfe cell is an em dash
+    assert gamma.index("| 0.5 ") < gamma.index("| 1.0 ")
+    assert "—" in gamma
+
+    out_dir = tmp_path / "tables"
+    assert ablation_main(["--csv", str(csv_path),
+                          "--out-dir", str(out_dir)]) == 0
+    assert (out_dir / "ablation_gamma.md").exists()
