@@ -22,8 +22,11 @@ __version__ = "0.1.0"
 
 
 def __getattr__(name):
-    # lazy: AudioCodec pulls in flax/optax; keep bare package import light
+    # lazy: these pull in flax/optax; keep bare package import light
     if name == "AudioCodec":
         from meanflow_audio_codec_tpu.codec import AudioCodec
         return AudioCodec
+    if name in ("StreamingCodec", "StreamingEncoder", "StreamingDecoder"):
+        from meanflow_audio_codec_tpu import streaming
+        return getattr(streaming, name)
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -104,23 +104,44 @@ class AudioCodec:
                                         self.noise_dim)
 
         @jax.jit
-        def encode_fn(params, audio):
-            tokens = adapter.strategy.tokenize(audio)
-            if adapter.scale != 1.0:
-                tokens = tokens / adapter.scale
+        def encode_tokens_fn(params, tokens):
+            """[B, nf, width] scaled coeff tokens -> [B, nf, latent_dim]."""
             b, nf, width = tokens.shape
             flat = apply_fn({"params": params},
                             tokens.reshape(b * nf, width), method="encode")
             return flat.reshape(b, nf, -1)
 
+        @jax.jit
+        def encode_fn(params, audio):
+            tokens = adapter.strategy.tokenize(audio)
+            if adapter.scale != 1.0:
+                tokens = tokens / adapter.scale
+            return encode_tokens_fn(params, tokens)
+
         @partial(jax.jit, static_argnames=("nfe",))
-        def decode_fn(params, latents, key, nfe):
+        def decode_tokens_fn(params, latents, key, nfe, noise=None):
+            """[B, nf, latent_dim] -> [B, nf, width] scaled coeff tokens.
+
+            ``noise`` ([B*nf, noise_dim]) overrides the key draw — the
+            streaming decoder passes per-frame fold_in noise so chunked
+            decodes match the batch decode (streaming.py).
+            """
             b, nf, _ = latents.shape
             flat = sample_dual_time(apply_fn, noise_dim, params, key,
-                                    latents.reshape(b * nf, -1), n_steps=nfe)
-            return adapter.detokenize_flat(flat, (nf, noise_dim))
+                                    latents.reshape(b * nf, -1), n_steps=nfe,
+                                    noise=noise)
+            return flat.reshape(b, nf, noise_dim)
+
+        @partial(jax.jit, static_argnames=("nfe",))
+        def decode_fn(params, latents, key, nfe):
+            nf = latents.shape[1]
+            tokens = decode_tokens_fn(params, latents, key, nfe)
+            return adapter.detokenize_flat(
+                tokens.reshape(-1, noise_dim), (nf, noise_dim))
 
         self._encode, self._decode = encode_fn, decode_fn
+        self._encode_tokens, self._decode_tokens = (encode_tokens_fn,
+                                                    decode_tokens_fn)
 
     def encode(self, audio) -> jnp.ndarray:
         """[B, T, C] audio -> [B, n_frames, latent_dim] latents."""
@@ -140,6 +161,12 @@ class AudioCodec:
     def roundtrip(self, audio, nfe: int = 1, key=None) -> jnp.ndarray:
         """encode + decode; the reconstruction the quality metrics score."""
         return self.decode(self.encode(audio), nfe=nfe, key=key)
+
+    def streaming(self, key=None, nfe: int = 1):
+        """Full-duplex chunked codec (streaming.py): bounded memory,
+        fixed 2W-H latency, exact batch parity."""
+        from meanflow_audio_codec_tpu.streaming import StreamingCodec
+        return StreamingCodec(self, key=key, nfe=nfe)
 
     # ---- metadata ------------------------------------------------------------
     @property

@@ -92,9 +92,12 @@ def sample(apply_fn, noise_dimension: int, params, key,
                                    "guidance_scale", "heun"))
 def _dual_time_sample(apply_fn, noise_dimension: int, params, key, latents,
                       n_steps: int, guidance_scale: float,
-                      heun: bool) -> jnp.ndarray:
+                      heun: bool, noise=None) -> jnp.ndarray:
     batch = latents.shape[0]
-    x0 = jax.random.normal(key, (batch, noise_dimension), dtype=jnp.float32)
+    if noise is None:
+        noise = jax.random.normal(key, (batch, noise_dimension),
+                                  dtype=jnp.float32)
+    x0 = noise
     t_vals = jnp.linspace(1.0, 0.0, n_steps + 1, dtype=jnp.float32)
     intervals = jnp.stack([t_vals[:-1], t_vals[1:]], axis=-1)  # rows (t, r)
 
@@ -122,14 +125,18 @@ def _dual_time_sample(apply_fn, noise_dimension: int, params, key, latents,
 def sample_dual_time(apply_fn, noise_dimension: int, params, key,
                      latents: jnp.ndarray, n_steps: int = 1,
                      guidance_scale: float = 1.0,
-                     heun: bool = False) -> jnp.ndarray:
+                     heun: bool = False, noise=None) -> jnp.ndarray:
     """Mean-flow interval sampler: x <- x - (t-r) * u(x, t, r).
 
     With ``n_steps=1`` this is the true 1-NFE codec decode (one model call
     maps noise to data along the full [1, 0] interval). ``heun=True`` adds
     the second (r, r) evaluation per interval as in the PyTorch reference.
+    ``noise`` overrides the key-drawn ``[B, noise_dimension]`` start point —
+    the streaming decoder passes per-frame fold_in noise so chunked and
+    batch decodes of the same latents are identical (streaming.py).
     """
     if latents is None:
         raise ValueError("latents must be provided for conditional sampling")
     return _dual_time_sample(apply_fn, noise_dimension, params, key, latents,
-                             int(n_steps), float(guidance_scale), bool(heun))
+                             int(n_steps), float(guidance_scale), bool(heun),
+                             noise=noise)
