@@ -168,6 +168,30 @@ class AudioCodec:
         from meanflow_audio_codec_tpu.streaming import StreamingCodec
         return StreamingCodec(self, key=key, nfe=nfe)
 
+    # ---- bitstream (stored format) --------------------------------------------
+    def encode_packed(self, audio, bits: int = 8):
+        """audio -> quantized LatentBitstream (the stored codec format).
+
+        Per-frame symmetric scalar quantization (ops/latent_quant.py);
+        ``bitrate_kbps(bits)`` is the resulting storage rate.
+        """
+        from meanflow_audio_codec_tpu.ops.latent_quant import quantize_latents
+        return quantize_latents(self.encode(audio), bits=bits)
+
+    def decode_packed(self, bitstream, nfe: int = 1, key=None) -> jnp.ndarray:
+        """LatentBitstream -> audio; the 1-NFE flow doubles as the
+        dequantization post-filter."""
+        from meanflow_audio_codec_tpu.ops.latent_quant import (
+            dequantize_latents,
+        )
+        return self.decode(dequantize_latents(bitstream), nfe=nfe, key=key)
+
+    def bitrate_kbps(self, bits: int = 8) -> float:
+        """Stored bitrate of the packed format (codes + per-frame scale)."""
+        from meanflow_audio_codec_tpu.ops.latent_quant import bitstream_kbps
+        return bitstream_kbps(self.latent_dim, self.frames_per_second,
+                              bits=bits)
+
     # ---- metadata ------------------------------------------------------------
     @property
     def _hop(self) -> int:

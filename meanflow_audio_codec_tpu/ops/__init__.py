@@ -23,6 +23,12 @@ from meanflow_audio_codec_tpu.ops.mdct import (
     output_length,
     sine_window,
 )
+from meanflow_audio_codec_tpu.ops.latent_quant import (
+    LatentBitstream,
+    bitstream_kbps,
+    dequantize_latents,
+    quantize_latents,
+)
 from meanflow_audio_codec_tpu.ops.mdct_layers import IMDCTLayer, MDCTLayer
 from meanflow_audio_codec_tpu.ops.stage_pallas import (
     fused_gelu_grn,

@@ -95,6 +95,36 @@ def test_codec_metadata(trained_workdir):
     assert codec.compression_ratio == pytest.approx((WINDOW // 2) * 2 / 6)
 
 
+def test_packed_bitstream_roundtrip(trained_workdir):
+    """encode_packed -> decode_packed: the stored-format product path."""
+    import jax
+    from meanflow_audio_codec_tpu.ops.latent_quant import dequantize_latents
+
+    codec = AudioCodec.from_workdir(trained_workdir)
+    rng = np.random.default_rng(7)
+    audio = rng.uniform(-0.5, 0.5, (2, FRAME_SIZE, 2)).astype(np.float32)
+
+    bs = codec.encode_packed(audio, bits=8)
+    latents = np.asarray(codec.encode(audio))
+    assert bs.codes.shape == latents.shape and bs.codes.dtype == np.int8
+
+    # 8-bit dequantized latents track the float latents closely
+    deq = np.asarray(dequantize_latents(bs))
+    peak = np.abs(latents).max(axis=-1, keepdims=True)
+    assert np.all(np.abs(deq - latents) <= peak * 2.5e-2 + 1e-7)
+
+    # decode_packed == decode(dequantize(.)) under the same key
+    key = jax.random.PRNGKey(3)
+    a = np.asarray(codec.decode_packed(bs, key=key))
+    b = np.asarray(codec.decode(dequantize_latents(bs), key=key))
+    np.testing.assert_array_equal(a, b)
+
+    # the bitrate is a real number derived from the run geometry
+    kbps = codec.bitrate_kbps(bits=8)
+    fps = codec.frames_per_second
+    assert kbps == pytest.approx(fps * (6 * 8 + 32) / 1000.0)
+
+
 def test_codec_rejects_non_frame_layout(tmp_path):
     from meanflow_audio_codec_tpu.configs import create_mnist_config
     cfg = create_mnist_config(**{"training": {"workdir": str(tmp_path)}})

@@ -1,0 +1,86 @@
+"""Latent bitstream: per-frame scalar quantization of codec latents."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from meanflow_audio_codec_tpu.ops.latent_quant import (
+    LatentBitstream,
+    bitstream_kbps,
+    dequantize_latents,
+    quantize_latents,
+)
+
+
+def _latents(seed=0, b=2, nf=7, d=32, scale=3.0):
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal((b, nf, d)) * scale).astype(np.float32)
+
+
+@pytest.mark.parametrize("bits,dtype,tol", [(8, jnp.int8, 2.5e-2),
+                                            (16, jnp.int16, 1e-4)])
+def test_roundtrip_error_bounded(bits, dtype, tol):
+    latents = _latents()
+    bs = quantize_latents(jnp.asarray(latents), bits=bits)
+    assert bs.codes.dtype == dtype
+    assert bs.scale.shape == latents.shape[:2] + (1,)
+    assert bs.bits == bits
+    recon = np.asarray(dequantize_latents(bs))
+    # symmetric scalar quant: |err| <= scale/2 per element
+    peak = np.abs(latents).max(axis=-1, keepdims=True)
+    assert np.all(np.abs(recon - latents) <= peak * tol + 1e-7)
+
+
+def test_zero_is_exact_and_peak_preserved():
+    latents = _latents(seed=1)
+    latents[:, :, 0] = 0.0  # silence dims stay exactly zero
+    bs = quantize_latents(jnp.asarray(latents), bits=8)
+    recon = np.asarray(dequantize_latents(bs))
+    assert np.all(recon[:, :, 0] == 0.0)
+    # the per-frame peak quantizes to +-qmax, so it round-trips exactly
+    flat_idx = np.abs(latents).reshape(2, 7, -1).argmax(-1)
+    for b in range(2):
+        for f in range(7):
+            i = flat_idx[b, f]
+            np.testing.assert_allclose(recon[b, f, i], latents[b, f, i],
+                                       rtol=1e-6)
+
+
+def test_per_frame_scales_isolate_loud_frames():
+    """A loud frame must not destroy a quiet frame's precision."""
+    latents = _latents(seed=2, scale=0.01)
+    latents[:, 0] *= 1000.0  # frame 0 is 1000x louder
+    bs = quantize_latents(jnp.asarray(latents), bits=8)
+    recon = np.asarray(dequantize_latents(bs))
+    quiet_err = np.abs(recon[:, 1:] - latents[:, 1:]).max()
+    assert quiet_err < 0.01 * 2.5e-2  # scaled to the quiet frames' peak
+
+
+def test_all_zero_frame_is_stable():
+    latents = np.zeros((1, 3, 16), np.float32)
+    bs = quantize_latents(jnp.asarray(latents), bits=8)
+    recon = np.asarray(dequantize_latents(bs))
+    assert np.all(recon == 0.0) and np.isfinite(recon).all()
+
+
+def test_bitstream_is_a_pytree():
+    bs = quantize_latents(jnp.asarray(_latents()), bits=8)
+    moved = jax.tree_util.tree_map(lambda x: x, bs)
+    assert isinstance(moved, LatentBitstream)
+    out = jax.jit(dequantize_latents)(bs)
+    assert out.shape == (2, 7, 32)
+
+
+def test_invalid_bits_rejected():
+    with pytest.raises(ValueError, match="bits"):
+        quantize_latents(jnp.zeros((1, 2, 4)), bits=12)
+
+
+def test_bitrate_formula():
+    # v2 quality geometry: latent 256 at 44100/288 frames/s, 8-bit codes
+    fps = 44100 / 288
+    kbps = bitstream_kbps(256, fps, bits=8)
+    assert kbps == pytest.approx(fps * (256 * 8 + 32) / 1000.0)
+    raw_16bit_stereo = 44100 * 2 * 16 / 1000.0
+    assert raw_16bit_stereo / kbps > 4  # real reduction vs PCM
