@@ -48,12 +48,17 @@ class ComprehensiveEvaluator:
 
     def __init__(self, checkpoint_path: Path | str, config: TrainFlowConfig,
                  nfe_list: list[int] | None = None, num_samples: int = 64,
-                 batch_size: int = 32, seed: int = 0):
+                 batch_size: int = 32, seed: int = 0,
+                 latent_bits: int | None = None):
         self.config = config
         self.nfe_list = nfe_list or list(DEFAULT_NFE_SWEEP)
         self.num_samples = num_samples
         self.batch_size = batch_size
         self.seed = seed
+        #: When set, decode from the quantized stored format
+        #: (ops/latent_quant.py) instead of float latents — measures the
+        #: bitstream's quality cost at a real kbps.
+        self.latent_bits = latent_bits
         self.state, self.model = load_flow_state(checkpoint_path, config)
         self.noise_dim = config.noise_dimension
         strategy = create_tokenization_strategy(config.tokenization_strategy,
@@ -98,6 +103,14 @@ class ComprehensiveEvaluator:
             {"params": p}, self.adapter.tokenize(raw), method="encode"))
         latents = encode(self.eval_params, jnp.asarray(data))
         force_completion(latents)
+        if self.latent_bits:
+            from meanflow_audio_codec_tpu.ops.latent_quant import (
+                dequantize_latents,
+                quantize_latents,
+            )
+            latents = dequantize_latents(
+                quantize_latents(latents, bits=self.latent_bits))
+            results["latent_bits"] = self.latent_bits
         key = jax.random.PRNGKey(self.seed)
 
         for nfe in self.nfe_list:

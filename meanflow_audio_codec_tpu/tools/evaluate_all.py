@@ -62,7 +62,8 @@ def evaluate_config(config_path: Path, nfe_list: list[int],
                     num_samples: int, csv_path: Path | None,
                     synthetic_family: str | None = None,
                     results_name: str = "evaluation_results.json",
-                    quantized: bool = False) -> dict | None:
+                    quantized: bool = False,
+                    latent_bits: int | None = None) -> dict | None:
     config = load_config_from_json(config_path)
     if quantized:
         # serve the bf16 checkpoint through the dynamic-int8 decode path
@@ -78,7 +79,8 @@ def evaluate_config(config_path: Path, nfe_list: list[int],
     data = load_real_data(config, num_samples,
                           synthetic_family=synthetic_family)
     evaluator = ComprehensiveEvaluator(checkpoint, config, nfe_list=nfe_list,
-                                       num_samples=num_samples)
+                                       num_samples=num_samples,
+                                       latent_bits=latent_bits)
     results = evaluator.evaluate(data)
     results_path = Path(config.workdir) / results_name
     evaluator.save_results(results, results_path)
@@ -124,6 +126,11 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--quantized", action="store_true",
                         help="serve checkpoints through the int8 W8A8 "
                              "decode path (convnet family only)")
+    parser.add_argument("--latent-bits", type=int, default=None,
+                        choices=(8, 16),
+                        help="decode from the scalar-quantized latent "
+                             "bitstream (ops/latent_quant.py) instead of "
+                             "float latents — the stored-format quality")
     args = parser.parse_args(argv)
 
     config_paths = sorted(args.configs.glob("*.json"))
@@ -136,7 +143,8 @@ def main(argv: list[str] | None = None) -> int:
             if evaluate_config(path, args.nfe, args.num_samples, args.csv,
                                synthetic_family=args.synthetic_family,
                                results_name=args.results_name,
-                               quantized=args.quantized) is not None:
+                               quantized=args.quantized,
+                               latent_bits=args.latent_bits) is not None:
                 evaluated += 1
         except Exception as exc:
             print(f"FAILED {path.name}: {exc}")

@@ -186,3 +186,38 @@ def test_comprehensive_evaluator_end_to_end(tmp_path):
     out = tmp_path / "results.json"
     evaluator.save_results(results, out)
     assert out.exists()
+
+
+def test_comprehensive_evaluator_latent_bits(tmp_path):
+    """latent_bits routes decode through the quantized stored format."""
+    from meanflow_audio_codec_tpu.configs import (
+        BaseConfig, DatasetConfig, MethodConfig, ModelConfig,
+        TrainFlowConfig, TrainingConfig)
+    from meanflow_audio_codec_tpu.training.trainer import train_flow
+    from meanflow_audio_codec_tpu.evaluators import ComprehensiveEvaluator
+    from meanflow_audio_codec_tpu.training.checkpoints import (
+        find_latest_checkpoint)
+    from meanflow_audio_codec_tpu.data.mnist import load_mnist
+
+    config = TrainFlowConfig(
+        base=BaseConfig(batch_size=4, n_steps=2, base_lr=1e-3,
+                        weight_decay=0.0, seed=0),
+        model=ModelConfig(noise_dimension=784, condition_dimension=8,
+                          latent_dimension=4, num_blocks=1),
+        dataset=DatasetConfig(dataset="mnist",
+                              tokenization_strategy="reshape"),
+        method=MethodConfig(method="improved_mean_flow",
+                            use_improved_mean_flow=True),
+        training=TrainingConfig(sample_every=2, sample_seed=0, sample_steps=1,
+                                workdir=tmp_path / "run"),
+    )
+    train_flow(config)
+    checkpoint = find_latest_checkpoint(tmp_path / "run" / "checkpoints")
+    evaluator = ComprehensiveEvaluator(checkpoint, config, nfe_list=[1],
+                                       num_samples=8, batch_size=8,
+                                       latent_bits=8)
+    _, test_iter = load_mnist(batch_size=8)
+    results = evaluator.evaluate(next(test_iter))
+    assert results["latent_bits"] == 8
+    entry = results["nfe_sweep"]["1"]
+    assert "mse" in entry and np.isfinite(entry["mse"])
