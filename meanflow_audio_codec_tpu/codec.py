@@ -187,10 +187,24 @@ class AudioCodec:
         return self.decode(dequantize_latents(bitstream), nfe=nfe, key=key)
 
     def bitrate_kbps(self, bits: int = 8) -> float:
-        """Stored bitrate of the packed format (codes + per-frame scale)."""
+        """Nominal stored bitrate (codes + per-frame scale), before
+        entropy coding; ``encode_bytes`` gives the measured rate."""
         from meanflow_audio_codec_tpu.ops.latent_quant import bitstream_kbps
         return bitstream_kbps(self.latent_dim, self.frames_per_second,
                               bits=bits)
+
+    def encode_bytes(self, audio, bits: int = 8) -> bytes:
+        """audio -> actual stored bytes (quantize + native rANS entropy
+        coding when available). The full codec write path."""
+        from meanflow_audio_codec_tpu.ops.latent_quant import pack_bitstream
+        return pack_bitstream(self.encode_packed(audio, bits=bits))
+
+    def decode_bytes(self, data: bytes, nfe: int = 1, key=None):
+        """Stored bytes -> audio. The full codec read path."""
+        from meanflow_audio_codec_tpu.ops.latent_quant import (
+            unpack_bitstream,
+        )
+        return self.decode_packed(unpack_bitstream(data), nfe=nfe, key=key)
 
     # ---- metadata ------------------------------------------------------------
     @property

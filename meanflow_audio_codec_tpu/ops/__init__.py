@@ -27,7 +27,9 @@ from meanflow_audio_codec_tpu.ops.latent_quant import (
     LatentBitstream,
     bitstream_kbps,
     dequantize_latents,
+    pack_bitstream,
     quantize_latents,
+    unpack_bitstream,
 )
 from meanflow_audio_codec_tpu.ops.mdct_layers import IMDCTLayer, MDCTLayer
 from meanflow_audio_codec_tpu.ops.stage_pallas import (

@@ -82,3 +82,87 @@ def bitstream_kbps(latent_dim: int, frames_per_second: float,
                    bits: int = 8) -> float:
     """Stored bitrate: codes plus one float32 scale per frame."""
     return frames_per_second * (latent_dim * bits + 32) / 1000.0
+
+
+# ============================================================================
+# Serialization: LatentBitstream <-> bytes (native rANS entropy coding)
+# ============================================================================
+
+_MAGIC = b"MACB"
+_FLAG_ENTROPY = 1
+
+
+def pack_bitstream(bitstream: LatentBitstream,
+                   entropy: bool | None = None) -> bytes:
+    """Serialize to actual stored bytes.
+
+    8-bit codes go through the native rANS coder (native/entropy.cpp) when
+    it is available — storage then tracks the codes' empirical entropy
+    rather than the nominal 8 bits — with a transparent raw fallback
+    (``entropy=False`` forces raw; ``None`` = auto). Scales are raw
+    float32. The header records which path was taken, so ``unpack``
+    needs no configuration.
+    """
+    import numpy as np
+
+    codes = np.asarray(bitstream.codes)
+    scale = np.asarray(bitstream.scale, dtype=np.float32)
+    b, nf, d = codes.shape
+    bits = codes.dtype.itemsize * 8
+    payload: bytes
+    flags = 0
+    if bits == 8 and entropy is not False:
+        from meanflow_audio_codec_tpu.ops import entropy as coder
+        if coder.available():
+            payload = coder.entropy_encode(codes)
+            flags = _FLAG_ENTROPY
+            if entropy is None and len(payload) >= codes.size:
+                # auto mode: the 512-byte frequency table loses on tiny
+                # streams — store whichever is smaller
+                payload = codes.tobytes()
+                flags = 0
+        elif entropy is True:
+            raise RuntimeError(
+                f"entropy coder unavailable: {coder.load_error()}")
+        else:
+            payload = codes.tobytes()
+    else:
+        if entropy is True:
+            raise ValueError("entropy coding supports 8-bit codes only")
+        payload = codes.tobytes()
+    header = (_MAGIC + bytes([1, bits, flags, 0])
+              + np.asarray([b, nf, d], dtype="<u4").tobytes())
+    sizes = np.asarray([len(payload)], dtype="<u8").tobytes()
+    return header + scale.astype("<f4").tobytes() + sizes + payload
+
+
+def unpack_bitstream(data: bytes) -> LatentBitstream:
+    """Inverse of :func:`pack_bitstream` (exact code/scale recovery)."""
+    import numpy as np
+
+    if data[:4] != _MAGIC:
+        raise ValueError("not a MACB latent bitstream")
+    version, bits, flags, _ = data[4:8]
+    if version != 1:
+        raise ValueError(f"unsupported bitstream version {version}")
+    b, nf, d = np.frombuffer(data[8:20], dtype="<u4")
+    off = 20
+    scale = np.frombuffer(data[off:off + 4 * b * nf],
+                          dtype="<f4").reshape(int(b), int(nf), 1)
+    off += 4 * b * nf
+    (payload_len,) = np.frombuffer(data[off:off + 8], dtype="<u8")
+    off += 8
+    payload = data[off:off + int(payload_len)]
+    n = int(b) * int(nf) * int(d)
+    if flags & _FLAG_ENTROPY:
+        from meanflow_audio_codec_tpu.ops import entropy as coder
+        codes = coder.entropy_decode(payload, n)
+    else:
+        codes = np.frombuffer(payload, dtype=_np_dtype(bits), count=n)
+    codes = codes.reshape(int(b), int(nf), int(d))
+    return LatentBitstream(jnp.asarray(codes), jnp.asarray(scale))
+
+
+def _np_dtype(bits: int):
+    import numpy as np
+    return {8: np.int8, 16: np.int16}[bits]
