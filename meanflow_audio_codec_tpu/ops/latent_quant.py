@@ -9,9 +9,10 @@ float32 scale per frame, giving an actual kbps figure
 
     kbps = frames_per_second * (latent_dim * bits + 32) / 1000
 
-(~318 kbps for the v2 quality geometry — latent 256 x 8 bits at
-44100/288 ~ 153 frames/s — a 4.4x reduction vs 1411 kbps raw 16-bit
-stereo, and 4x less than the float32 latents the reference would store).
+(358 kbps nominal for the v2 quality geometry — latent 256 x 8 bits at
+44100/256 ~ 172 frames/s; the rANS-coded container measures **279.5 kbps**
+on real v2 latents — a 5x reduction vs 1411 kbps raw 16-bit stereo, 4x
+less than the float32 latents the reference would keep).
 Quantization is a pure jit-friendly transform; the decode
 path dequantizes and runs the unchanged 1-NFE flow — the flow decoder
 doubles as the codec's *dequantization post-filter*, which is exactly the
