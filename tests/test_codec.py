@@ -125,6 +125,34 @@ def test_packed_bitstream_roundtrip(trained_workdir):
     assert kbps == pytest.approx(fps * (6 * 8 + 32) / 1000.0)
 
 
+def test_codec_cli_roundtrip(trained_workdir, tmp_path, capsys):
+    """encode -> info -> decode through the user-facing CLI."""
+    from meanflow_audio_codec_tpu.data.audio import load_audio_file, write_wav
+    from meanflow_audio_codec_tpu.tools.codec_cli import main
+
+    rng = np.random.default_rng(11)
+    wav_in = tmp_path / "in.wav"
+    write_wav(wav_in, rng.uniform(-0.5, 0.5, (FRAME_SIZE, 2)))
+
+    macb = tmp_path / "in.macb"
+    assert main(["encode", str(wav_in), "--workdir", str(trained_workdir),
+                 "-o", str(macb)]) == 0
+    assert macb.exists() and macb.read_bytes()[:4] == b"MACB"
+
+    assert main(["info", str(macb)]) == 0
+    out = capsys.readouterr().out
+    assert "MACB v1" in out and "8-bit" in out
+
+    wav_out = tmp_path / "recon.wav"
+    assert main(["decode", str(macb), "--workdir", str(trained_workdir),
+                 "-o", str(wav_out)]) == 0
+    recon = load_audio_file(wav_out)
+    assert recon is not None
+    # frame-implied length: original padded by at most one window span
+    assert FRAME_SIZE <= recon.shape[1] <= FRAME_SIZE + 2 * WINDOW
+    assert np.isfinite(recon).all()
+
+
 def test_codec_rejects_non_frame_layout(tmp_path):
     from meanflow_audio_codec_tpu.configs import create_mnist_config
     cfg = create_mnist_config(**{"training": {"workdir": str(tmp_path)}})
