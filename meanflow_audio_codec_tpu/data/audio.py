@@ -89,12 +89,31 @@ _DECODERS: dict[str, Callable] = {".wav": _decode_wav,
                                   ".mp3": _decode_mp3}
 
 
+def resample_audio(audio: np.ndarray, rate: int, target_rate: int) -> np.ndarray:
+    """Polyphase resample (C, T) float32 audio to the target rate.
+
+    scipy's kaiser-windowed polyphase filter (resample_poly) at the
+    rational rate ratio — the resampler the reference lacked (it dropped
+    off-rate files, reference audio.py:246-251).
+    """
+    from math import gcd
+
+    from scipy.signal import resample_poly
+
+    g = gcd(rate, target_rate)
+    return resample_poly(audio, target_rate // g, rate // g,
+                         axis=1).astype(np.float32)
+
+
 def load_audio_file(path: Path,
-                    target_rate: int = TARGET_SAMPLE_RATE) -> np.ndarray | None:
+                    target_rate: int = TARGET_SAMPLE_RATE,
+                    resample: bool = False) -> np.ndarray | None:
     """Decode one file to stereo (2, T) float32 at the target rate.
 
-    Files at other sample rates are dropped with a warning (the reference
-    does the same, audio.py:246-251 — no resampler dependency available).
+    By default files at other sample rates are dropped with a warning
+    (reference parity, audio.py:246-251); ``resample=True`` converts them
+    with a polyphase filter instead (the product-grade behavior the codec
+    CLI uses).
     """
     decoder = _DECODERS.get(path.suffix.lower())
     if decoder is None:
@@ -108,8 +127,11 @@ def load_audio_file(path: Path,
         return None
     audio, rate = decoded
     if rate != target_rate:
-        warnings.warn(f"Skipping {path}: sample rate {rate} != {target_rate}")
-        return None
+        if not resample:
+            warnings.warn(
+                f"Skipping {path}: sample rate {rate} != {target_rate}")
+            return None
+        audio = resample_audio(audio, rate, target_rate)
     if audio.shape[0] == 1:
         audio = np.concatenate([audio, audio], axis=0)  # mono -> stereo dup
     return np.ascontiguousarray(audio[:2])

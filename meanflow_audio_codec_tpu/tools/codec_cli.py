@@ -32,10 +32,9 @@ def _load_codec(workdir: str, quantized: bool = False):
 
 def _read_audio(path: Path) -> np.ndarray:
     from meanflow_audio_codec_tpu.data.audio import load_audio_file
-    audio = load_audio_file(path)
+    audio = load_audio_file(path, resample=True)  # any input rate
     if audio is None:
-        raise SystemExit(f"cannot decode {path} (unsupported format or "
-                         f"sample rate != 44100)")
+        raise SystemExit(f"cannot decode {path} (unsupported format)")
     return audio.T[None]  # (2, T) -> [1, T, 2]
 
 

@@ -57,6 +57,24 @@ def test_wrong_sample_rate_dropped(tmp_path):
         assert load_audio_file(tmp_path / "x.wav") is None
 
 
+def test_resample_preserves_tone(tmp_path):
+    """48 kHz sine loads at 44.1 kHz with the tone frequency intact."""
+    sr_in, f0 = 48000, 1000.0
+    t = np.arange(sr_in) / sr_in
+    tone = (0.5 * np.sin(2 * np.pi * f0 * t)).astype(np.float32)
+    path = tmp_path / "x48.wav"
+    write_wav(path, np.stack([tone, tone], axis=1), sample_rate=sr_in)
+    decoded = load_audio_file(path, resample=True)
+    assert decoded is not None
+    n = decoded.shape[1]
+    assert abs(n - 44100) <= 2  # 1 s at the target rate
+    spectrum = np.abs(np.fft.rfft(decoded[0] * np.hanning(n)))
+    peak_hz = np.argmax(spectrum) * 44100 / n
+    assert abs(peak_hz - f0) < 5.0
+    # amplitude survives the polyphase filter
+    assert 0.4 < np.abs(decoded[0][1000:-1000]).max() < 0.6
+
+
 def test_audio_pipeline_stages(tmp_path):
     rng = np.random.default_rng(1)
     for i in range(3):
