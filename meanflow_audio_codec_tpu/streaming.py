@@ -126,6 +126,20 @@ class StreamingEncoder:
         self._emitted = max(n_ready, self._emitted)
         return out
 
+    def push_bytes(self, chunk, bits: int = 8) -> bytes:
+        """``push`` then pack the emitted frames as one self-contained
+        MACB packet (empty bytes while the lookahead fills). Composes the
+        streaming and stored-format surfaces for network serving; decode
+        each packet with :meth:`StreamingDecoder.push_bytes`."""
+        from meanflow_audio_codec_tpu.ops.latent_quant import (
+            pack_bitstream,
+            quantize_latents,
+        )
+        latents = self.push(chunk)
+        if latents.shape[1] == 0:
+            return b""
+        return pack_bitstream(quantize_latents(latents, bits=bits))
+
     def flush(self, tail=None) -> jnp.ndarray:
         """Emit the trailing zero-padded frames; resets the encoder.
 
@@ -206,6 +220,19 @@ class StreamingDecoder:
         self._tail = seg[:, emit:]
         self._frame_index += n
         return seg[:, :emit]
+
+    def push_bytes(self, packet: bytes) -> jnp.ndarray:
+        """Decode one MACB packet from :meth:`StreamingEncoder.push_bytes`
+        (empty packets pass through as zero emitted samples)."""
+        from meanflow_audio_codec_tpu.ops.latent_quant import (
+            dequantize_latents,
+            unpack_bitstream,
+        )
+        if not packet:
+            shape = ((1, 0) if self._tail is None or self._tail.ndim == 2
+                     else (self._tail.shape[0], 0, self._tail.shape[2]))
+            return jnp.zeros(shape, jnp.float32)
+        return self.push(dequantize_latents(unpack_bitstream(packet)))
 
     def flush(self) -> jnp.ndarray:
         """Emit the final ``2W - H`` overlap-add tail; resets the decoder."""

@@ -177,6 +177,42 @@ def test_decoder_noise_is_frame_indexed(codec):
     assert np.abs(a - b).max() > 0
 
 
+def test_packet_streaming_roundtrip(codec):
+    """push_bytes packets decode to the same audio as float streaming,
+    up to the 8-bit latent quantization."""
+    audio = _audio(seed=13, t=2048)
+    key = jax.random.PRNGKey(4)
+
+    enc, dec = StreamingEncoder(codec), StreamingDecoder(codec, key=key)
+    parts, packets = [], []
+    # first push smaller than the 2W lookahead -> empty packet passthrough
+    bounds = [0, 64] + list(range(64 + 512, 2048 + 1, 512))
+    for a, b in zip(bounds[:-1], bounds[1:]):
+        pkt = enc.push_bytes(audio[:, a:b])
+        assert isinstance(pkt, bytes)
+        packets.append(pkt)
+        parts.append(np.asarray(dec.push_bytes(pkt)))
+    assert packets[0] == b""  # lookahead still filling on the first push
+    assert parts[0].size == 0  # placeholder emission for the empty packet
+    assert all(p[:4] == b"MACB" for p in packets[1:])
+    got = np.concatenate([p for p in parts if p.size], axis=1)
+
+    # transport-layer contract: the packets decode to exactly what one
+    # stateful decode of their unpacked latents produces
+    from meanflow_audio_codec_tpu.ops.latent_quant import (
+        dequantize_latents, unpack_bitstream)
+    lat = np.concatenate([
+        np.asarray(dequantize_latents(unpack_bitstream(p)))
+        for p in packets if p], axis=1)
+    ref_dec = StreamingDecoder(codec, key=key)
+    ref = np.asarray(ref_dec.push(lat))
+    # XLA retiles the model matmuls at different row counts (15/16-frame
+    # pushes vs one 61-frame push), giving ~1e-4-level fp drift on a few
+    # elements; the exact cross-boundary state contract is already proven
+    # by test_streaming_decode_chunking_invariant.
+    np.testing.assert_allclose(got, ref, rtol=5e-3, atol=2e-4)
+
+
 def test_flush_before_push_raises(codec):
     with pytest.raises(RuntimeError):
         StreamingEncoder(codec).flush()
