@@ -165,7 +165,31 @@ def bench_train_steps() -> dict:
     return out
 
 
+def _device_reachable(timeout: float = 240.0) -> bool:
+    """Pre-flight in a subprocess: a dead axon tunnel makes cold backend
+    init block ~15 min then raise — fail fast with an honest JSON line
+    instead (same probe as tools/supervise.py outage gating)."""
+    import subprocess
+    import sys
+    code = ("import jax, jax.numpy as jnp; jax.devices(); "
+            "print(float(jnp.ones(4).sum()))")
+    try:
+        return subprocess.run(
+            [sys.executable, "-c", code], timeout=timeout,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL).returncode == 0
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+
+
 def main() -> None:
+    if not _device_reachable():
+        print(json.dumps({
+            "metric": "audio_rtf_encode_1nfe_decode", "value": 0.0,
+            "unit": "x_realtime", "vs_baseline": 0.0,
+            "error": "device unreachable (tunnel outage) — bench skipped; "
+                     "see BENCH_r02.json for the last healthy run"}))
+        return
     codec = bench_codec_rtf()
     train = bench_train_steps()
     result = {
