@@ -165,21 +165,19 @@ def bench_train_steps() -> dict:
     return out
 
 
-def _device_reachable(timeout: float = 240.0) -> bool:
+def _device_reachable(timeout: float = 240.0, attempts: int = 2) -> bool:
     """Pre-flight in a subprocess: a dead axon tunnel makes cold backend
     init block ~15 min then raise — fail fast with an honest JSON line
-    instead (same probe as tools/supervise.py outage gating)."""
-    import subprocess
+    instead. Reuses the supervisor's liveness probe, and retries once:
+    CLAUDE.md documents occasional ~90 s tunnel stalls that a single
+    cold-init probe could mistake for an outage."""
     import sys
-    code = ("import jax, jax.numpy as jnp; jax.devices(); "
-            "print(float(jnp.ones(4).sum()))")
-    try:
-        return subprocess.run(
-            [sys.executable, "-c", code], timeout=timeout,
-            stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL).returncode == 0
-    except (OSError, subprocess.TimeoutExpired):
-        return False
+    from meanflow_audio_codec_tpu.tools.supervise import (
+        DEFAULT_PROBE,
+        _device_alive,
+    )
+    probe = [sys.executable, *DEFAULT_PROBE]
+    return any(_device_alive(probe, timeout) for _ in range(attempts))
 
 
 def main() -> None:

@@ -9,67 +9,27 @@ back cleanly (``available() -> False``) when no toolchain is present.
 from __future__ import annotations
 
 import ctypes
-import hashlib
-import subprocess
-import threading
 from pathlib import Path
 
 import numpy as np
 
+from meanflow_audio_codec_tpu.native_build import NativeLibrary
+
 _NATIVE_DIR = Path(__file__).resolve().parents[2] / "native"
-_SOURCE = _NATIVE_DIR / "dataloader.cpp"
-_BUILD_LOCK = threading.Lock()
-_lib: ctypes.CDLL | None = None
-_load_error: str | None = None
+#: Source-content-addressed name (libmacloader-<sha>.so, gitignored):
+#: a stale or foreign binary is never dlopened — any source change (or
+#: fresh clone) forces a local rebuild (native_build.NativeLibrary).
+_LIBRARY = NativeLibrary(_NATIVE_DIR / "dataloader.cpp", "libmacloader",
+                         extra_flags=("-pthread",))
 
 
-def _library_path() -> Path:
-    """Source-content-addressed library name: libmacloader-<sha>.so.
-
-    The library is never committed (gitignored); keying on the source hash
-    guarantees a stale or foreign binary is never dlopened — any source
-    change (or fresh clone) forces a local rebuild. Portable ISA flags only
-    (no -march=native) so a cached build from another host of the same
-    arch family still runs.
-    """
-    digest = hashlib.sha256(_SOURCE.read_bytes()).hexdigest()[:16]
-    return _NATIVE_DIR / f"libmacloader-{digest}.so"
-
-
-def _build(library: Path) -> bool:
-    cmd = ["g++", "-O3", "-std=c++17", "-fPIC", "-shared",
-           "-pthread", "-o", str(library), str(_SOURCE)]
-    try:
-        result = subprocess.run(cmd, capture_output=True, text=True,
-                                timeout=120)
-    except (OSError, subprocess.TimeoutExpired) as exc:
-        global _load_error
-        _load_error = f"g++ invocation failed: {exc}"
-        return False
-    if result.returncode != 0:
-        _load_error = f"g++ failed: {result.stderr[-500:]}"
-        return False
-    return True
+_configured = False
 
 
 def _load() -> ctypes.CDLL | None:
-    global _lib, _load_error
-    if _lib is not None:
-        return _lib
-    with _BUILD_LOCK:
-        if _lib is not None:
-            return _lib
-        if not _SOURCE.exists():
-            _load_error = f"source missing: {_SOURCE}"
-            return None
-        library = _library_path()
-        if not library.exists() and not _build(library):
-            return None
-        try:
-            lib = ctypes.CDLL(str(library))
-        except OSError as exc:
-            _load_error = f"dlopen failed: {exc}"
-            return None
+    global _configured
+    lib = _LIBRARY.load()
+    if lib is not None and not _configured:
         lib.mac_loader_create.restype = ctypes.c_void_p
         lib.mac_loader_create.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
@@ -89,8 +49,8 @@ def _load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
         lib.mac_decode_audio.restype = ctypes.c_long
         lib.mac_decode_audio.argtypes = lib.mac_decode_wav.argtypes
-        _lib = lib
-        return _lib
+        _configured = True
+    return lib
 
 
 def available() -> bool:
@@ -99,7 +59,7 @@ def available() -> bool:
 
 
 def load_error() -> str | None:
-    return _load_error
+    return _LIBRARY.error
 
 
 def _wav_sample_bound(path: Path) -> int | None:
@@ -187,7 +147,8 @@ class NativeAudioLoader:
                  loop: bool = True):
         lib = _load()
         if lib is None:
-            raise RuntimeError(f"native loader unavailable: {_load_error}")
+            raise RuntimeError(
+                f"native loader unavailable: {_LIBRARY.error}")
         if not files:
             raise ValueError("no input files")
         self._lib = lib

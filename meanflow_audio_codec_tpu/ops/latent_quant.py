@@ -167,3 +167,18 @@ def unpack_bitstream(data: bytes) -> LatentBitstream:
 def _np_dtype(bits: int):
     import numpy as np
     return {8: np.int8, 16: np.int16}[bits]
+
+
+def describe_bitstream(data: bytes) -> dict:
+    """Header summary of a packed stream (the format's single owner —
+    codec_cli's ``info`` uses this instead of re-parsing bytes)."""
+    import numpy as np
+
+    if data[:4] != _MAGIC:
+        raise ValueError("not a MACB latent bitstream")
+    version, bits, flags, _ = data[4:8]
+    b, nf, d = (int(x) for x in np.frombuffer(data[8:20], dtype="<u4"))
+    return {"version": version, "bits": bits,
+            "coding": "rANS" if flags & _FLAG_ENTROPY else "raw",
+            "batch": b, "n_frames": nf, "latent_dim": d,
+            "total_bytes": len(data)}

@@ -6,9 +6,13 @@ For production serving, a codec must run on an unbounded stream with
 bounded memory and fixed latency. This module adds that surface with
 **exact batch parity**: pushing a signal through the streaming encoder in
 any chunking yields the same latents as ``AudioCodec.encode`` on the whole
-signal, and the streaming decoder reproduces the batch decode sample for
-sample (per-frame ``fold_in`` noise makes the stochastic transport
-chunking-invariant).
+signal, and the streaming decoder is chunking-invariant — any chunking of
+the same latents under the same key produces identical samples, equal to
+a one-shot decode driven by the same per-frame ``fold_in`` noise
+(``sample_dual_time(..., noise=frame_noise(...))``; note this noise
+construction differs from ``AudioCodec.decode``'s single key draw, so
+streaming output is a different — equally valid — dither of the same
+content than ``decode(latents, key=key)``).
 
 Geometry (ops/mdct.py conventions): MDCT frames span ``2W`` samples at hop
 ``H``; frame ``j`` reads ``[jH, jH + 2W)``. The encoder therefore carries
@@ -25,6 +29,7 @@ dispatch; no per-chunk retracing.
     enc, dec = StreamingEncoder(codec), StreamingDecoder(codec)
     for chunk in mic:                       # [B, S, C], S % hop == 0
         audio_out = dec.push(enc.push(chunk))
+    audio_out = dec.push(enc.flush())       # trailing zero-padded frames
     audio_out = dec.flush()                 # final overlap-add tail
 """
 
@@ -191,18 +196,25 @@ class StreamingDecoder:
     def reset(self) -> None:
         self._tail = None         # [B, span - hop, ...] overlap-add carry
         self._frame_index = 0     # absolute index of the next frame
+        self._batch = None        # batch size, learned from the first push
 
     @property
     def frames_decoded(self) -> int:
         return self._frame_index
 
+    def _empty(self, batch: int) -> jnp.ndarray:
+        """Zero-sample emission with the real output rank/channels (from
+        the codec geometry, so it concatenates with data emissions)."""
+        ch = self.codec._channels
+        shape = (batch, 0) if ch == 1 else (batch, 0, ch)
+        return jnp.zeros(shape, jnp.float32)
+
     def push(self, latents) -> jnp.ndarray:
         latents = jnp.asarray(latents)
         batch, n = int(latents.shape[0]), int(latents.shape[1])
+        self._batch = batch
         if n == 0:
-            shape = ((batch, 0) if self._tail is None or self._tail.ndim == 2
-                     else (batch, 0, self._tail.shape[2]))
-            return jnp.zeros(shape, jnp.float32)
+            return self._empty(batch)
         noise_dim = self.codec.noise_dim
         noise = frame_noise(self.key, self._frame_index, n, batch, noise_dim)
         tokens = self.codec._decode_tokens(
@@ -223,15 +235,15 @@ class StreamingDecoder:
 
     def push_bytes(self, packet: bytes) -> jnp.ndarray:
         """Decode one MACB packet from :meth:`StreamingEncoder.push_bytes`
-        (empty packets pass through as zero emitted samples)."""
+        (empty packets pass through as zero emitted samples; before any
+        data packet has arrived, the zero emission's batch dim defaults
+        to 1 since the stream hasn't declared a batch size yet)."""
         from meanflow_audio_codec_tpu.ops.latent_quant import (
             dequantize_latents,
             unpack_bitstream,
         )
         if not packet:
-            shape = ((1, 0) if self._tail is None or self._tail.ndim == 2
-                     else (self._tail.shape[0], 0, self._tail.shape[2]))
-            return jnp.zeros(shape, jnp.float32)
+            return self._empty(self._batch or 1)
         return self.push(dequantize_latents(unpack_bitstream(packet)))
 
     def flush(self) -> jnp.ndarray:

@@ -66,15 +66,14 @@ def cmd_decode(args) -> int:
 
 
 def cmd_info(args) -> int:
-    data = Path(args.input).read_bytes()
-    if data[:4] != b"MACB":
-        raise SystemExit(f"{args.input}: not a MACB latent bitstream")
-    version, bits, flags, _ = data[4:8]
-    b, nf, d = np.frombuffer(data[8:20], dtype="<u4")
-    coding = "rANS" if flags & 1 else "raw"
-    print(f"{args.input}: MACB v{version}, {bits}-bit {coding} codes, "
-          f"batch={b} frames={nf} latent_dim={d}, "
-          f"{len(data)} bytes")
+    from meanflow_audio_codec_tpu.ops.latent_quant import describe_bitstream
+    try:
+        h = describe_bitstream(Path(args.input).read_bytes())
+    except ValueError as exc:
+        raise SystemExit(f"{args.input}: {exc}")
+    print(f"{args.input}: MACB v{h['version']}, {h['bits']}-bit "
+          f"{h['coding']} codes, batch={h['batch']} frames={h['n_frames']} "
+          f"latent_dim={h['latent_dim']}, {h['total_bytes']} bytes")
     return 0
 
 

@@ -213,6 +213,22 @@ def test_packet_streaming_roundtrip(codec):
     np.testing.assert_allclose(got, ref, rtol=5e-3, atol=2e-4)
 
 
+def test_empty_emissions_concatenate_with_data(codec):
+    """Pre-lookahead pushes emit [B, 0, C] (not 2-D), so a caller can
+    np.concatenate every per-push emission without filtering."""
+    duplex = codec.streaming()
+    audio = _audio(t=8 * HOP)
+    outs = [np.asarray(duplex.push(audio[:, i:i + HOP]))
+            for i in range(0, 8 * HOP, HOP)]  # hop-sized: first pushes empty
+    assert outs[0].shape == (2, 0, 2)
+    full = np.concatenate(outs, axis=1)  # must not raise
+    assert full.shape[0] == 2 and full.shape[2] == 2
+
+    dec = StreamingDecoder(codec)
+    empty = np.asarray(dec.push_bytes(b""))
+    assert empty.ndim == 3 and empty.shape[1] == 0
+
+
 def test_flush_before_push_raises(codec):
     with pytest.raises(RuntimeError):
         StreamingEncoder(codec).flush()
