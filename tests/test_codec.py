@@ -153,6 +153,30 @@ def test_codec_cli_roundtrip(trained_workdir, tmp_path, capsys):
     assert np.isfinite(recon).all()
 
 
+def test_codec_decode_under_data_sharding(trained_workdir):
+    """Serving scales over a data mesh: decode with batch-sharded latents
+    equals the unsharded decode (per-frame independence => DP subsumes
+    sequence scaling, SURVEY.md §5.7; training sharding is covered by
+    tests/test_trainer_sharded.py — this is the inference side."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from meanflow_audio_codec_tpu.parallel import create_mesh
+
+    codec = AudioCodec.from_workdir(trained_workdir)
+    rng = np.random.default_rng(21)
+    audio = rng.uniform(-0.5, 0.5, (8, FRAME_SIZE, 2)).astype(np.float32)
+    latents = codec.encode(audio)
+
+    mesh = create_mesh(data=8, model=1, devices=jax.devices()[:8])
+    sharded = jax.device_put(
+        latents, NamedSharding(mesh, PartitionSpec("data", None, None)))
+    key = jax.random.PRNGKey(5)
+    out_sharded = np.asarray(codec.decode(sharded, key=key))
+    out_local = np.asarray(codec.decode(latents, key=key))
+    np.testing.assert_allclose(out_sharded, out_local, rtol=1e-4, atol=1e-5)
+
+
 def test_codec_rejects_non_frame_layout(tmp_path):
     from meanflow_audio_codec_tpu.configs import create_mnist_config
     cfg = create_mnist_config(**{"training": {"workdir": str(tmp_path)}})
