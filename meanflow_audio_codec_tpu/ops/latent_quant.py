@@ -31,7 +31,9 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-_INT_DTYPES = {8: jnp.int8, 16: jnp.int16}
+#: storage dtype per code width; sub-byte widths live in int8 (the rANS
+#: coder recovers their true entropy, so storage still tracks ~bits/code)
+_INT_DTYPES = {4: jnp.int8, 8: jnp.int8, 16: jnp.int16}
 
 
 @jax.tree_util.register_pytree_node_class
@@ -41,22 +43,25 @@ class LatentBitstream:
 
     ``codes`` is ``[B, n_frames, latent_dim]`` int8/int16; ``scale`` is
     ``[B, n_frames, 1]`` float32. A pytree, so it moves through jit /
-    device_put / serialization like any array bundle.
+    device_put / serialization like any array bundle. ``qbits`` records
+    the quantizer width when it is narrower than the storage dtype
+    (4-bit codes ride int8 arrays); 0 means dtype-implied.
     """
 
     codes: jnp.ndarray
     scale: jnp.ndarray
+    qbits: int = 0
 
     @property
     def bits(self) -> int:
-        return jnp.dtype(self.codes.dtype).itemsize * 8
+        return self.qbits or jnp.dtype(self.codes.dtype).itemsize * 8
 
     def tree_flatten(self):
-        return (self.codes, self.scale), None
+        return (self.codes, self.scale), self.qbits
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        return cls(*children, qbits=aux)
 
 
 @partial(jax.jit, static_argnames=("bits",))
@@ -69,8 +74,10 @@ def quantize_latents(latents: jnp.ndarray, bits: int = 8) -> LatentBitstream:
     peak = jnp.max(jnp.abs(latents), axis=-1, keepdims=True)
     scale = jnp.maximum(peak, 1e-12) / qmax
     codes = jnp.clip(jnp.round(latents / scale), -qmax, qmax)
-    return LatentBitstream(codes.astype(_INT_DTYPES[bits]),
-                           scale.astype(jnp.float32))
+    dtype = _INT_DTYPES[bits]
+    qbits = bits if bits < jnp.dtype(dtype).itemsize * 8 else 0
+    return LatentBitstream(codes.astype(dtype),
+                           scale.astype(jnp.float32), qbits=qbits)
 
 
 @jax.jit
@@ -109,10 +116,10 @@ def pack_bitstream(bitstream: LatentBitstream,
     codes = np.asarray(bitstream.codes)
     scale = np.asarray(bitstream.scale, dtype=np.float32)
     b, nf, d = codes.shape
-    bits = codes.dtype.itemsize * 8
+    bits = bitstream.bits
     payload: bytes
     flags = 0
-    if bits == 8 and entropy is not False:
+    if bits in (4, 8) and entropy is not False:
         from meanflow_audio_codec_tpu.ops import entropy as coder
         if coder.available():
             payload = coder.entropy_encode(codes)
@@ -129,7 +136,8 @@ def pack_bitstream(bitstream: LatentBitstream,
             payload = codes.tobytes()
     else:
         if entropy is True:
-            raise ValueError("entropy coding supports 8-bit codes only")
+            raise ValueError("entropy coding supports int8-stored codes "
+                             "(4/8-bit) only")
         payload = codes.tobytes()
     header = (_MAGIC + bytes([1, bits, flags, 0])
               + np.asarray([b, nf, d], dtype="<u4").tobytes())
@@ -161,12 +169,13 @@ def unpack_bitstream(data: bytes) -> LatentBitstream:
     else:
         codes = np.frombuffer(payload, dtype=_np_dtype(bits), count=n)
     codes = codes.reshape(int(b), int(nf), int(d))
-    return LatentBitstream(jnp.asarray(codes), jnp.asarray(scale))
+    return LatentBitstream(jnp.asarray(codes), jnp.asarray(scale),
+                           qbits=bits if bits == 4 else 0)
 
 
 def _np_dtype(bits: int):
     import numpy as np
-    return {8: np.int8, 16: np.int16}[bits]
+    return {4: np.int8, 8: np.int8, 16: np.int16}[bits]
 
 
 def describe_bitstream(data: bytes) -> dict:

@@ -86,7 +86,7 @@ def main(argv: list[str] | None = None) -> int:
     enc.add_argument("-o", "--output", default=None)
     enc.add_argument("--workdir", required=True,
                      help="trained run directory (config + checkpoints)")
-    enc.add_argument("--bits", type=int, default=8, choices=(8, 16))
+    enc.add_argument("--bits", type=int, default=8, choices=(4, 8, 16))
     enc.set_defaults(fn=cmd_encode)
 
     dec = sub.add_parser("decode", help=".macb bitstream -> WAV")

@@ -127,7 +127,7 @@ def main(argv: list[str] | None = None) -> int:
                         help="serve checkpoints through the int8 W8A8 "
                              "decode path (convnet family only)")
     parser.add_argument("--latent-bits", type=int, default=None,
-                        choices=(8, 16),
+                        choices=(4, 8, 16),
                         help="decode from the scalar-quantized latent "
                              "bitstream (ops/latent_quant.py) instead of "
                              "float latents — the stored-format quality")

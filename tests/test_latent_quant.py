@@ -18,7 +18,8 @@ def _latents(seed=0, b=2, nf=7, d=32, scale=3.0):
     return (rng.standard_normal((b, nf, d)) * scale).astype(np.float32)
 
 
-@pytest.mark.parametrize("bits,dtype,tol", [(8, jnp.int8, 2.5e-2),
+@pytest.mark.parametrize("bits,dtype,tol", [(4, jnp.int8, 7.2e-2),
+                                            (8, jnp.int8, 2.5e-2),
                                             (16, jnp.int16, 1e-4)])
 def test_roundtrip_error_bounded(bits, dtype, tol):
     latents = _latents()
@@ -70,6 +71,19 @@ def test_bitstream_is_a_pytree():
     assert isinstance(moved, LatentBitstream)
     out = jax.jit(dequantize_latents)(bs)
     assert out.shape == (2, 7, 32)
+
+
+def test_4bit_codes_stay_in_range_and_roundtrip_container():
+    from meanflow_audio_codec_tpu.ops.latent_quant import (
+        pack_bitstream, unpack_bitstream)
+    latents = _latents(seed=7)
+    bs = quantize_latents(jnp.asarray(latents), bits=4)
+    assert bs.bits == 4 and bs.codes.dtype == jnp.int8
+    codes = np.asarray(bs.codes)
+    assert codes.min() >= -7 and codes.max() <= 7
+    back = unpack_bitstream(pack_bitstream(bs))
+    assert back.bits == 4
+    np.testing.assert_array_equal(np.asarray(back.codes), codes)
 
 
 def test_invalid_bits_rejected():
