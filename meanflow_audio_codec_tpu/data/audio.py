@@ -33,11 +33,11 @@ import numpy as np
 
 TARGET_SAMPLE_RATE = 44100
 DEFAULT_FRAME_SIZE = 256 * 256 * 3  # ~4.46 s @ 44.1 kHz (reference audio.py:38)
-AUDIO_EXTENSIONS = (".wav", ".aiff", ".aif", ".mp3")
+AUDIO_EXTENSIONS = (".wav", ".aiff", ".aif", ".flac", ".mp3")
 
 #: extensions the first-party native core decodes (container-magic
 #: dispatch in native/dataloader.cpp — the pluggable-decoder seam).
-NATIVE_EXTENSIONS = (".wav", ".aiff", ".aif")
+NATIVE_EXTENSIONS = (".wav", ".aiff", ".aif", ".flac")
 
 
 # ============================================================================
@@ -71,6 +71,15 @@ def _decode_aiff(path: Path) -> tuple[np.ndarray, int] | None:
     return native_mod.decode_audio_native(path)
 
 
+def _decode_flac(path: Path) -> tuple[np.ndarray, int] | None:
+    """FLAC via the native core's first-party decoder (dataloader.cpp):
+    constant/verbatim/fixed/LPC subframes, Rice residuals, CRC-verified."""
+    from meanflow_audio_codec_tpu.data import native as native_mod
+    if not native_mod.available():
+        return None
+    return native_mod.decode_audio_native(path)
+
+
 def _decode_mp3(path: Path) -> tuple[np.ndarray, int] | None:
     # UNTESTED in this image: minimp3py is not installed and no MP3 corpus
     # ships — this path has never executed here. It mirrors the reference's
@@ -86,6 +95,7 @@ def _decode_mp3(path: Path) -> tuple[np.ndarray, int] | None:
 _DECODERS: dict[str, Callable] = {".wav": _decode_wav,
                                   ".aiff": _decode_aiff,
                                   ".aif": _decode_aiff,
+                                  ".flac": _decode_flac,
                                   ".mp3": _decode_mp3}
 
 

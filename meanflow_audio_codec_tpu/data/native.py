@@ -63,12 +63,13 @@ def load_error() -> str | None:
 
 
 def _wav_sample_bound(path: Path) -> int | None:
-    """Exact interleaved-sample count from the WAV/AIFF header, or None.
+    """Exact interleaved-sample count from the container header, or None.
 
-    Scans the container chunks for bits-per-sample and the payload byte
-    size so the float32 scratch buffer is sized to the real payload —
-    a byte-count bound over-allocates 8x for 16-bit PCM (4 bytes of f32
-    scratch per payload byte vs the 2-bytes-per-sample truth)."""
+    Scans WAV/AIFF chunks for bits-per-sample and the payload byte size
+    (a byte-count bound over-allocates 8x for 16-bit PCM), or reads the
+    FLAC STREAMINFO total-samples field — compressed payload bytes say
+    nothing about decoded size, so the header count is the only honest
+    bound there."""
     try:
         with open(path, "rb") as f:
             magic = f.read(12)[:4]
@@ -76,6 +77,19 @@ def _wav_sample_bound(path: Path) -> int | None:
                 order, fmt_id, data_id, bits_off = "little", b"fmt ", b"data", 14
             elif magic == b"FORM":
                 order, fmt_id, data_id, bits_off = "big", b"COMM", b"SSND", 6
+            elif magic == b"fLaC":
+                # STREAMINFO is mandatory and first: 4-byte block header,
+                # then 34 bytes; channels-1 sits at bit offset 100,
+                # total samples (36 bits) at offset 108.
+                f.seek(4)
+                block = f.read(4 + 34)
+                if len(block) < 38 or block[0] & 0x7F != 0:
+                    return None
+                si = block[4:]
+                channels = ((si[12] >> 1) & 0x7) + 1
+                total = ((si[13] & 0xF) << 32) | int.from_bytes(
+                    si[14:18], "big")
+                return max(total * channels, 64) if total else None
             else:
                 return None
             bytes_per = None

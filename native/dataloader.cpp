@@ -8,8 +8,11 @@
 // sampling and multi-threaded prefetch, exposed through a minimal C ABI for
 // ctypes binding (no pybind11 in this image).
 //
-//   decode   : 8/16/24/32-bit PCM + IEEE float WAV (RIFF parser) and
-//              8/16/24/32-bit PCM AIFF / AIFC-NONE/sowt (IFF parser),
+//   decode   : 8/16/24/32-bit PCM + IEEE float WAV (RIFF parser),
+//              8/16/24/32-bit PCM AIFF / AIFC-NONE/sowt (IFF parser), and
+//              native FLAC (full subset: constant/verbatim/fixed/LPC
+//              subframes, Rice partitions + escapes, all stereo
+//              decorrelation modes, wasted bits, CRC-8/16 verified),
 //              dispatched on the container magic (the pluggable-decoder
 //              seam); files at the wrong sample rate are skipped, mono
 //              duplicates to stereo
@@ -261,6 +264,394 @@ bool decode_aiff(const char* path, WavData* out) {
 }
 
 // ---------------------------------------------------------------------------
+// FLAC decoding (native, first-party)
+// ---------------------------------------------------------------------------
+//
+// Decodes the full FLAC subset that real encoders emit: STREAMINFO metadata,
+// fixed-blocking and variable-blocking frames, subframe types CONSTANT /
+// VERBATIM / FIXED(0-4) / LPC(1-32), Rice-coded residuals (4- and 5-bit
+// parameters, partition orders 0-15, raw-bits escape), wasted-bits shifts,
+// and left/side, right/side, mid/side stereo decorrelation. Both frame CRCs
+// (CRC-8 header, CRC-16 frame) are verified — a corrupt frame fails the
+// whole file rather than emitting garbage samples. Stand-in for the
+// reference's external compressed-audio decoder (minimp3py, reference
+// datasets/audio.py:93-132): FLAC is the archival format real music corpora
+// ship in, and unlike MP3 its decode is exactly invertible, which the
+// round-trip tests exploit (tests/test_native_flac.py).
+
+uint8_t flac_crc8(const unsigned char* d, size_t n) {
+  uint8_t c = 0;
+  for (size_t i = 0; i < n; ++i) {
+    c ^= d[i];
+    for (int b = 0; b < 8; ++b) c = (c & 0x80) ? uint8_t((c << 1) ^ 0x07) : uint8_t(c << 1);
+  }
+  return c;
+}
+
+uint16_t flac_crc16(const unsigned char* d, size_t n) {
+  uint16_t c = 0;
+  for (size_t i = 0; i < n; ++i) {
+    c ^= uint16_t(d[i]) << 8;
+    for (int b = 0; b < 8; ++b)
+      c = (c & 0x8000) ? uint16_t((c << 1) ^ 0x8005) : uint16_t(c << 1);
+  }
+  return c;
+}
+
+// MSB-first bit reader over an in-memory buffer with byte-position access
+// for the CRC spans (frame headers and frame ends are byte-aligned by spec).
+struct FlacBits {
+  const unsigned char* data;
+  size_t size;
+  size_t byte = 0;  // next byte index
+  int bit = 0;      // bits consumed within data[byte], 0..7
+
+  bool read_bits(int n, uint64_t* out) {  // n in [0, 57]
+    uint64_t v = 0;
+    while (n > 0) {
+      if (byte >= size) return false;
+      const int avail = 8 - bit;
+      const int take = n < avail ? n : avail;
+      const unsigned cur = (unsigned(data[byte]) >> (avail - take)) &
+                           ((1u << take) - 1);
+      v = (v << take) | cur;
+      bit += take;
+      if (bit == 8) { bit = 0; ++byte; }
+      n -= take;
+    }
+    *out = v;
+    return true;
+  }
+
+  bool read_signed(int n, int64_t* out) {
+    if (n == 0) { *out = 0; return true; }
+    uint64_t v;
+    if (!read_bits(n, &v)) return false;
+    const uint64_t m = 1ull << (n - 1);
+    *out = int64_t(v ^ m) - int64_t(m);
+    return true;
+  }
+
+  bool read_unary(uint32_t* out) {
+    uint32_t q = 0;
+    for (;;) {
+      uint64_t b;
+      if (!read_bits(1, &b)) return false;
+      if (b) { *out = q; return true; }
+      if (++q > 1u << 24) return false;  // malformed: absurd quotient
+    }
+  }
+
+  bool align() {  // discard pad bits to the next byte boundary
+    if (bit == 0) return true;
+    uint64_t pad;
+    return read_bits(8 - bit, &pad);
+  }
+
+  bool at_eof() const { return byte >= size; }
+};
+
+// UTF-8-style coded number (frame/sample index, up to 36 bits / 7 bytes).
+bool flac_utf8_number(FlacBits* br, uint64_t* out) {
+  uint64_t b0;
+  if (!br->read_bits(8, &b0)) return false;
+  if (b0 < 0x80) { *out = b0; return true; }
+  int k = 0;  // leading ones = total bytes
+  for (uint64_t m = 0x80; m && (b0 & m); m >>= 1) ++k;
+  if (k < 2 || k > 7) return false;
+  uint64_t v = b0 & (0x7Full >> k);
+  for (int i = 1; i < k; ++i) {
+    uint64_t c;
+    if (!br->read_bits(8, &c)) return false;
+    if ((c & 0xC0) != 0x80) return false;
+    v = (v << 6) | (c & 0x3F);
+  }
+  *out = v;
+  return true;
+}
+
+// Rice / escape residual section into s[pred_order..blocksize).
+bool flac_residual(FlacBits* br, int pred_order, uint32_t blocksize,
+                   std::vector<int64_t>* s) {
+  uint64_t method, po;
+  if (!br->read_bits(2, &method) || method > 1) return false;
+  if (!br->read_bits(4, &po)) return false;
+  const int param_bits = method == 0 ? 4 : 5;
+  const uint32_t escape = method == 0 ? 0xF : 0x1F;
+  const uint32_t partitions = 1u << po;
+  if (blocksize % partitions) return false;
+  const uint32_t psize = blocksize >> po;
+  if (psize <= uint32_t(pred_order) && po == 0) return false;
+  size_t idx = pred_order;
+  for (uint32_t p = 0; p < partitions; ++p) {
+    uint32_t count = psize - (p == 0 ? uint32_t(pred_order) : 0);
+    if (p == 0 && psize < uint32_t(pred_order)) return false;
+    uint64_t param;
+    if (!br->read_bits(param_bits, &param)) return false;
+    if (uint32_t(param) == escape) {
+      uint64_t raw_bits;
+      if (!br->read_bits(5, &raw_bits)) return false;
+      for (uint32_t i = 0; i < count; ++i) {
+        int64_t v;
+        if (!br->read_signed(int(raw_bits), &v)) return false;
+        (*s)[idx++] = v;
+      }
+    } else {
+      for (uint32_t i = 0; i < count; ++i) {
+        uint32_t q;
+        uint64_t r = 0;
+        if (!br->read_unary(&q)) return false;
+        if (param && !br->read_bits(int(param), &r)) return false;
+        const uint64_t u = (uint64_t(q) << param) | r;
+        (*s)[idx++] = int64_t(u >> 1) ^ -int64_t(u & 1);  // zigzag
+      }
+    }
+  }
+  return idx == blocksize;
+}
+
+bool flac_subframe(FlacBits* br, uint32_t blocksize, int bps,
+                   std::vector<int64_t>* s) {
+  uint64_t pad, type, wflag;
+  if (!br->read_bits(1, &pad) || pad) return false;
+  if (!br->read_bits(6, &type)) return false;
+  if (!br->read_bits(1, &wflag)) return false;
+  int wasted = 0;
+  if (wflag) {  // unary-coded (count - 1)
+    uint32_t q;
+    if (!br->read_unary(&q)) return false;
+    wasted = int(q) + 1;
+  }
+  const int ebps = bps - wasted;
+  if (ebps <= 0 || ebps > 33) return false;
+  s->assign(blocksize, 0);
+
+  if (type == 0) {  // CONSTANT
+    int64_t v;
+    if (!br->read_signed(ebps, &v)) return false;
+    for (uint32_t i = 0; i < blocksize; ++i) (*s)[i] = v;
+  } else if (type == 1) {  // VERBATIM
+    for (uint32_t i = 0; i < blocksize; ++i)
+      if (!br->read_signed(ebps, &(*s)[i])) return false;
+  } else if ((type & 0x38) == 0x08 && (type & 0x07) <= 4) {  // FIXED 0-4
+    const int order = int(type & 0x07);
+    if (uint32_t(order) > blocksize) return false;
+    for (int i = 0; i < order; ++i)
+      if (!br->read_signed(ebps, &(*s)[i])) return false;
+    if (!flac_residual(br, order, blocksize, s)) return false;
+    for (uint32_t i = order; i < blocksize; ++i) {
+      int64_t* p = s->data() + i;
+      switch (order) {  // s[i] currently holds the residual
+        case 0: break;
+        case 1: p[0] += p[-1]; break;
+        case 2: p[0] += 2 * p[-1] - p[-2]; break;
+        case 3: p[0] += 3 * p[-1] - 3 * p[-2] + p[-3]; break;
+        case 4: p[0] += 4 * p[-1] - 6 * p[-2] + 4 * p[-3] - p[-4]; break;
+      }
+    }
+  } else if (type & 0x20) {  // LPC, order 1-32
+    const int order = int(type & 0x1F) + 1;
+    if (uint32_t(order) > blocksize) return false;
+    for (int i = 0; i < order; ++i)
+      if (!br->read_signed(ebps, &(*s)[i])) return false;
+    uint64_t prec_m1, shift_u;
+    if (!br->read_bits(4, &prec_m1) || prec_m1 == 0xF) return false;
+    const int precision = int(prec_m1) + 1;
+    if (!br->read_bits(5, &shift_u)) return false;
+    const int shift = int(int64_t(shift_u << 59) >> 59);  // signed 5-bit
+    if (shift < 0) return false;                          // spec: non-negative
+    int64_t coef[32];
+    for (int i = 0; i < order; ++i)
+      if (!br->read_signed(precision, &coef[i])) return false;
+    if (!flac_residual(br, order, blocksize, s)) return false;
+    for (uint32_t i = order; i < blocksize; ++i) {
+      int64_t acc = 0;
+      for (int j = 0; j < order; ++j) acc += coef[j] * (*s)[i - 1 - j];
+      (*s)[i] += acc >> shift;
+    }
+  } else {
+    return false;  // reserved subframe type
+  }
+  if (wasted)
+    for (uint32_t i = 0; i < blocksize; ++i) (*s)[i] <<= wasted;
+  return true;
+}
+
+bool decode_flac(const char* path, WavData* out) {
+  // Whole-file read: FLAC frames are not independently seekable without the
+  // (optional) SEEKTABLE, and corpora files are compressed (~0.5x raw).
+  std::vector<unsigned char> buf;
+  {
+    FILE* f = fopen(path, "rb");
+    if (!f) return false;
+    fseek(f, 0, SEEK_END);
+    const long fsz = ftell(f);
+    fseek(f, 0, SEEK_SET);
+    if (fsz < 42 || fsz > (1L << 30)) { fclose(f); return false; }
+    buf.resize(size_t(fsz));
+    const bool got = read_exact(f, buf.data(), buf.size());
+    fclose(f);
+    if (!got) return false;
+  }
+  if (memcmp(buf.data(), "fLaC", 4)) return false;
+
+  FlacBits br{buf.data(), buf.size(), 4, 0};
+  // Metadata blocks; STREAMINFO (type 0) must come first.
+  uint32_t sample_rate = 0;
+  int channels = 0, bps = 0;
+  uint64_t total_samples = 0;
+  bool have_streaminfo = false;
+  for (bool last = false; !last;) {
+    uint64_t lflag, btype, blen;
+    if (!br.read_bits(1, &lflag) || !br.read_bits(7, &btype) ||
+        !br.read_bits(24, &blen))
+      return false;
+    last = lflag != 0;
+    if (btype == 0) {
+      if (blen != 34 || have_streaminfo) return false;
+      uint64_t v;
+      if (!br.read_bits(16, &v)) return false;  // min blocksize
+      if (!br.read_bits(16, &v)) return false;  // max blocksize
+      if (!br.read_bits(24, &v)) return false;  // min framesize
+      if (!br.read_bits(24, &v)) return false;  // max framesize
+      if (!br.read_bits(20, &v)) return false;
+      sample_rate = uint32_t(v);
+      if (!br.read_bits(3, &v)) return false;
+      channels = int(v) + 1;
+      if (!br.read_bits(5, &v)) return false;
+      bps = int(v) + 1;
+      if (!br.read_bits(36, &total_samples)) return false;
+      for (int i = 0; i < 4; ++i)  // md5 (unverified — CRC-16 per frame)
+        if (!br.read_bits(32, &v)) return false;
+      have_streaminfo = true;
+    } else {
+      if (!have_streaminfo) return false;  // STREAMINFO must be first
+      for (uint64_t i = 0; i < blen; ++i) {
+        uint64_t skip;
+        if (!br.read_bits(8, &skip)) return false;
+      }
+    }
+  }
+  if (!have_streaminfo || sample_rate == 0 || channels < 1 || channels > 8 ||
+      bps < 4 || bps > 32)
+    return false;
+
+  constexpr uint64_t kMaxTotal = 1ull << 28;  // interleaved f32 samples cap
+  if (total_samples * channels > kMaxTotal) return false;
+  out->samples.clear();
+  if (total_samples) out->samples.reserve(size_t(total_samples) * channels);
+
+  std::vector<int64_t> ch[8];
+  uint64_t decoded = 0;
+  while (total_samples ? decoded < total_samples : !br.at_eof()) {
+    const size_t frame_start = br.byte;  // byte-aligned here by spec
+    uint64_t sync, v;
+    if (!br.read_bits(14, &sync)) {
+      if (!total_samples) break;  // clean EOF, unknown-length stream
+      return false;
+    }
+    if (sync != 0x3FFE) return false;
+    if (!br.read_bits(1, &v) || v) return false;  // reserved
+    if (!br.read_bits(1, &v)) return false;       // blocking strategy
+    uint64_t bs_code, sr_code, chan_asgn, ss_code;
+    if (!br.read_bits(4, &bs_code) || !br.read_bits(4, &sr_code) ||
+        !br.read_bits(4, &chan_asgn) || !br.read_bits(3, &ss_code) ||
+        !br.read_bits(1, &v) || v)
+      return false;
+    uint64_t coded_number;
+    if (!flac_utf8_number(&br, &coded_number)) return false;
+    uint32_t blocksize = 0;
+    static const uint32_t kBs[16] = {0, 192, 576, 1152, 2304, 4608, 0, 0,
+                                     256, 512, 1024, 2048, 4096, 8192,
+                                     16384, 32768};
+    if (bs_code == 6) {
+      if (!br.read_bits(8, &v)) return false;
+      blocksize = uint32_t(v) + 1;
+    } else if (bs_code == 7) {
+      if (!br.read_bits(16, &v)) return false;
+      blocksize = uint32_t(v) + 1;
+    } else {
+      blocksize = kBs[bs_code];
+      if (!blocksize) return false;
+    }
+    if (sr_code == 12) {
+      if (!br.read_bits(8, &v)) return false;
+    } else if (sr_code == 13 || sr_code == 14) {
+      if (!br.read_bits(16, &v)) return false;
+    } else if (sr_code == 15) {
+      return false;
+    }
+    static const int kBits[8] = {0, 8, 12, -1, 16, 20, 24, 32};
+    const int frame_bps = ss_code == 0 ? bps : kBits[ss_code];
+    if (frame_bps <= 0 || frame_bps != bps) return false;
+    // CRC-8 over the byte-aligned header (br.bit == 0 here).
+    uint8_t crc8_read;
+    {
+      uint64_t c;
+      const size_t hdr_end = br.byte;
+      if (!br.read_bits(8, &c)) return false;
+      crc8_read = uint8_t(c);
+      if (flac_crc8(buf.data() + frame_start, hdr_end - frame_start) !=
+          crc8_read)
+        return false;
+    }
+    int frame_channels;
+    if (chan_asgn < 8) {
+      frame_channels = int(chan_asgn) + 1;
+    } else if (chan_asgn <= 10) {
+      frame_channels = 2;
+    } else {
+      return false;
+    }
+    if (frame_channels != channels) return false;
+    for (int c = 0; c < frame_channels; ++c) {
+      // The difference (side) channel carries one extra bit.
+      int sub_bps = bps;
+      if ((chan_asgn == 8 && c == 1) || (chan_asgn == 9 && c == 0) ||
+          (chan_asgn == 10 && c == 1))
+        sub_bps += 1;
+      if (!flac_subframe(&br, blocksize, sub_bps, &ch[c])) return false;
+    }
+    if (!br.align()) return false;
+    {
+      uint64_t c;
+      const size_t body_end = br.byte;
+      if (!br.read_bits(16, &c)) return false;
+      if (flac_crc16(buf.data() + frame_start, body_end - frame_start) !=
+          uint16_t(c))
+        return false;
+    }
+    // Undo stereo decorrelation.
+    if (chan_asgn == 8) {  // left/side: right = left - side
+      for (uint32_t i = 0; i < blocksize; ++i) ch[1][i] = ch[0][i] - ch[1][i];
+    } else if (chan_asgn == 9) {  // right/side: left = side + right
+      for (uint32_t i = 0; i < blocksize; ++i) ch[0][i] += ch[1][i];
+    } else if (chan_asgn == 10) {  // mid/side
+      for (uint32_t i = 0; i < blocksize; ++i) {
+        const int64_t side = ch[1][i];
+        int64_t mid = (ch[0][i] << 1) | (side & 1);
+        ch[0][i] = (mid + side) >> 1;
+        ch[1][i] = (mid - side) >> 1;
+      }
+    }
+    uint32_t emit = blocksize;
+    if (total_samples && decoded + emit > total_samples)
+      emit = uint32_t(total_samples - decoded);  // final-frame padding
+    if ((out->samples.size() + size_t(emit) * channels) > kMaxTotal)
+      return false;
+    const float scale = 1.0f / float(1u << (bps - 1));
+    for (uint32_t i = 0; i < emit; ++i)
+      for (int c = 0; c < channels; ++c)
+        out->samples.push_back(float(ch[c][i]) * scale);
+    decoded += emit;
+  }
+  if (total_samples && decoded != total_samples) return false;
+  out->channels = channels;
+  out->sample_rate = int(sample_rate);
+  return true;
+}
+
+// ---------------------------------------------------------------------------
 // Container dispatch — the pluggable-decoder seam. Each decoder owns one
 // magic number; an MP3 (or FLAC/Ogg) decoder plugs in as one more row.
 // The Python tier (data/audio.py) routes compressed formats it cannot
@@ -280,6 +671,7 @@ bool decode_audio(const char* path, WavData* out) {
   }
   if (!memcmp(magic, "RIFF", 4)) return decode_wav(path, out);
   if (!memcmp(magic, "FORM", 4)) return decode_aiff(path, out);
+  if (!memcmp(magic, "fLaC", 4)) return decode_flac(path, out);
   return false;
 }
 
