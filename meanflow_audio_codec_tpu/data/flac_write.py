@@ -1,16 +1,24 @@
-"""Minimal FLAC *encoder* used as a test-vector generator.
+"""Minimal FLAC *encoder*: test-vector generator + corpus writer.
 
-The image ships no FLAC tooling (no ``flac``, ``ffmpeg``, ``soundfile``,
-``torchaudio``), so the native decoder in ``native/dataloader.cpp`` is
-validated against bitstreams produced here. The encoder is deliberately
-small but spec-exact: it emits real FLAC (magic, STREAMINFO, framed
-bitstream with CRC-8/CRC-16) covering every subframe type the decoder
-claims — CONSTANT, VERBATIM, FIXED(0-4), LPC with caller-chosen
-coefficients — plus Rice partitions, raw-bits escapes, wasted bits and
-all three stereo decorrelation modes. Because FLAC is lossless, tests
-assert exact integer round-trips (tests/test_native_flac.py).
+Two jobs:
 
-Test-support only: the product path never encodes FLAC.
+1. Validate the native decoder (``native/dataloader.cpp``): this image
+   ships no FLAC tooling (no ``flac``, ``ffmpeg``, ``soundfile``,
+   ``torchaudio``), so the decoder is tested against bitstreams produced
+   here. The encoder is deliberately small but spec-exact: it emits real
+   FLAC (magic, STREAMINFO, framed bitstream with CRC-8/CRC-16) covering
+   every subframe type the decoder claims — CONSTANT, VERBATIM,
+   FIXED(0-4), LPC with caller-chosen coefficients — plus Rice
+   partitions, raw-bits escapes, wasted bits and all three stereo
+   decorrelation modes. FLAC is lossless, so tests assert exact integer
+   round-trips (tests/test_native_flac.py).
+
+2. Write compressed on-disk corpora (:func:`write_flac_pcm16`, used by
+   ``tools/make_corpus.py``) so the file-based training path can be
+   exercised on FLAC corpora, the format real music archives ship in.
+
+Pure Python, unoptimized by design — encoding is a corpus-preparation
+step, never on the training or serving hot path.
 """
 
 from __future__ import annotations
@@ -275,3 +283,25 @@ def write_flac(path, audio: np.ndarray, sample_rate: int = 44100,
 
     with open(path, "wb") as f:
         f.write(out)
+
+
+def write_flac_pcm16(path, audio: np.ndarray,
+                     sample_rate: int = 44100) -> None:
+    """Write (T,) or (T, C) float32 [-1, 1] audio as 16-bit FLAC.
+
+    Mirrors :func:`data.audio.write_wav`'s contract. Uses the sensible
+    compressing defaults: fixed-order-2 prediction, mid/side stereo
+    decorrelation for C == 2, 4096-sample blocks.
+    """
+    from pathlib import Path
+
+    audio = np.asarray(audio, dtype=np.float32)
+    if audio.ndim == 1:
+        audio = audio[:, None]
+    pcm = (np.clip(audio, -1.0, 1.0) * 32767.0).astype(np.int64).T  # (C, T)
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    stereo = "mid_side" if pcm.shape[0] == 2 else "independent"
+    write_flac(path, pcm, sample_rate=sample_rate, bits=16,
+               blocksize=min(4096, pcm.shape[1]), mode="fixed2",
+               stereo=stereo)

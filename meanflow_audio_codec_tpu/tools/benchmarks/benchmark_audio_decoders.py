@@ -65,6 +65,7 @@ def _decode_librosa(path: Path) -> int:
 BACKENDS: dict[str, tuple[Callable[[Path], int], str]] = {
     "stdlib_wave": (_decode_stdlib_wave, ".wav"),
     "native_cpp": (_decode_native_cpp, ".wav"),
+    "native_cpp_flac": (_decode_native_cpp, ".flac"),
     "soundfile": (_decode_soundfile, ".wav"),
     "librosa": (_decode_librosa, ".wav"),
     "minimp3py": (_decode_minimp3, ".mp3"),
@@ -110,6 +111,12 @@ def main(argv: list[str] | None = None) -> int:
         else:
             data_dir = Path(tmp)
             make_corpus(data_dir, args.n_files, seconds=args.seconds)
+            if "native_cpp_flac" in args.backends:
+                from meanflow_audio_codec_tpu.tools.make_corpus import (
+                    make_corpus as make_family_corpus)
+                make_family_corpus(data_dir, family="tonal",
+                                   num_clips=args.n_files,
+                                   seconds=args.seconds, fmt="flac")
         files = glob_audio_files(data_dir, seed=0)
         for name in args.backends:
             print(json.dumps(bench_backend(name, files, args.repeats)),

@@ -1,7 +1,7 @@
 """Native FLAC decoder round-trip tests (native/dataloader.cpp decode_flac).
 
 FLAC is lossless, so every test asserts *exact* recovery of the integer
-samples through the full encode (tests/flac_writer.py, a spec-exact
+samples through the full encode (data/flac_write.py, a spec-exact
 minimal encoder) -> native decode path. Covers each subframe type the
 decoder implements, Rice partitions and escapes, wasted bits, all stereo
 decorrelation modes, multi-frame streams, non-16-bit depths, CRC
@@ -14,7 +14,8 @@ import numpy as np
 import pytest
 
 from meanflow_audio_codec_tpu.data import native
-from tests.flac_writer import write_flac
+from meanflow_audio_codec_tpu.data.flac_write import (write_flac,
+                                                      write_flac_pcm16)
 
 pytestmark = pytest.mark.skipif(
     not native.available(),
@@ -148,6 +149,24 @@ def test_loader_over_flac_corpus(tmp_path):
     assert np.isfinite(batch).all()
     assert loader.files_skipped == 0
     loader.close()
+
+
+def test_write_flac_pcm16_roundtrip(tmp_path):
+    """Float-audio corpus writer: exact int16 recovery through decode."""
+    rng = np.random.default_rng(14)
+    t = np.arange(8192) / 44100.0
+    audio = (np.stack([np.sin(2 * np.pi * 440 * t),
+                       np.sin(2 * np.pi * 660 * t)], axis=1) * 0.5
+             + rng.normal(0, 0.01, (8192, 2))).astype(np.float32)
+    path = tmp_path / "p.flac"
+    write_flac_pcm16(path, audio, 44100)
+    decoded = native.decode_audio_native(path)
+    assert decoded is not None
+    samples, rate = decoded  # (C, T)
+    assert rate == 44100
+    expect = (np.clip(audio, -1.0, 1.0) * 32767.0).astype(np.int64).T
+    got = np.round(samples * 32768).astype(np.int64)
+    np.testing.assert_array_equal(got, expect)
 
 
 def test_pipeline_routes_flac_natively(tmp_path):
