@@ -181,6 +181,10 @@ class DatasetConfig(Section):
     data_dir: str | None = None
     tokenization_strategy: str | None = None
     tokenization_config: dict | None = None
+    #: polyphase-resample off-rate corpus files to 44.1 kHz instead of
+    #: dropping them (reference parity is drop, audio.py:246-251); no
+    #: reference counterpart — its loader had no resampler.
+    resample_audio: bool = False
 
     def validate(self) -> None:
         self._check_choice("dataset")

@@ -10,8 +10,10 @@ Differences by design:
     reference used ``deque(maxlen=...)`` which silently drops decoded files
     when the consumer lags (audio.py:113, a data-loss bug);
   * decoders are pluggable: WAV via the stdlib ``wave`` module (always
-    available), MP3 via ``minimp3py`` when installed; unsupported files are
-    skipped with a warning;
+    available), AIFF/FLAC via the first-party native core, MP3 via
+    ``minimp3py`` when installed with a platform-codec fallback
+    (SDL_mixer through pygame); unsupported files are skipped with a
+    warning;
   * a synthetic source (``synthetic_audio_pipeline``) produces deterministic
     stereo mixtures when no data directory exists, so the audio path is
     always exercisable in this zero-egress image.
@@ -80,14 +82,113 @@ def _decode_flac(path: Path) -> tuple[np.ndarray, int] | None:
     return native_mod.decode_audio_native(path)
 
 
+#: (MPEG version key -> sample-rate table); version bits from the frame
+#: header: 3 = MPEG-1, 2 = MPEG-2, 0 = MPEG-2.5.
+_MP3_RATES = {3: (44100, 48000, 32000),
+              2: (22050, 24000, 16000),
+              0: (11025, 12000, 8000)}
+_MP3_BITRATES_V1L3 = (0, 32, 40, 48, 56, 64, 80, 96, 112,
+                      128, 160, 192, 224, 256, 320)
+_MP3_BITRATES_V2L3 = (0, 8, 16, 24, 32, 40, 48, 56, 64,
+                      80, 96, 112, 128, 144, 160)
+
+
+def _mp3_frame_at(data: bytes, i: int) -> tuple[int, int, int] | None:
+    """Parse a candidate MPEG Layer III frame header at offset ``i``.
+
+    Returns (sample_rate, channels, frame_length_bytes) or None. Frame
+    length lets the caller verify a *second* sync word follows, which is
+    how false syncs inside the payload are rejected.
+    """
+    if i + 4 > len(data) or data[i] != 0xFF or (data[i + 1] & 0xE0) != 0xE0:
+        return None
+    b1, b2, b3 = data[i + 1], data[i + 2], data[i + 3]
+    version = (b1 >> 3) & 3
+    layer = (b1 >> 1) & 3
+    if version not in _MP3_RATES or layer != 1:  # layer bits 01 = Layer III
+        return None
+    bitrate_idx = (b2 >> 4) & 0xF
+    rate_idx = (b2 >> 2) & 3
+    if bitrate_idx in (0, 0xF) or rate_idx == 3:
+        return None
+    rate = _MP3_RATES[version][rate_idx]
+    kbps = (_MP3_BITRATES_V1L3 if version == 3
+            else _MP3_BITRATES_V2L3)[bitrate_idx]
+    padding = (b2 >> 1) & 1
+    # Samples/frame: 1152 (MPEG-1) or 576 (MPEG-2/2.5) for Layer III.
+    factor = 144 if version == 3 else 72
+    length = factor * kbps * 1000 // rate + padding
+    channels = 1 if ((b3 >> 6) & 3) == 3 else 2
+    return rate, channels, length
+
+
+def mp3_stream_info(path: Path) -> tuple[int, int] | None:
+    """(sample_rate, channels) of the first verified MP3 frame, or None.
+
+    Skips a leading ID3v2 tag, then scans for a sync word whose computed
+    frame length lands on another valid sync (two-frame verification, the
+    standard defense against false syncs in tag/payload bytes).
+    """
+    with open(path, "rb") as fh:
+        data = fh.read(256 * 1024)
+    i = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        i = 10 + ((data[6] << 21) | (data[7] << 14)
+                  | (data[8] << 7) | data[9])
+    while i + 4 <= len(data):
+        frame = _mp3_frame_at(data, i)
+        if frame is not None:
+            rate, channels, length = frame
+            nxt = i + length
+            if nxt + 4 > len(data) or _mp3_frame_at(data, nxt) is not None:
+                return rate, channels
+        i += 1
+    return None
+
+
+def _decode_mp3_sdl(path: Path) -> tuple[np.ndarray, int] | None:
+    """MP3 via the platform codec (SDL_mixer through pygame, in-image).
+
+    The mixer converts to its init format at load, so we parse the frame
+    header first and (re)init the mixer at the file's native rate — the
+    decode itself is then unresampled. Serialized by a lock: the mixer is
+    process-global state and decoders run in prefetch worker threads.
+    """
+    try:
+        import os
+        os.environ.setdefault("SDL_AUDIODRIVER", "dummy")
+        import pygame.mixer as mixer
+        import pygame.sndarray as sndarray
+    except Exception:
+        return None
+    info = mp3_stream_info(path)
+    if info is None:
+        return None
+    rate, channels = info
+    with _SDL_MIXER_LOCK:
+        if mixer.get_init() != (rate, -16, channels):
+            mixer.quit()
+            mixer.init(frequency=rate, size=-16, channels=channels)
+        sound = mixer.Sound(str(path))
+        pcm = sndarray.array(sound)
+    audio = pcm.astype(np.float32) / 32768.0
+    if audio.ndim == 1:
+        audio = audio[:, None]
+    return audio.T, rate
+
+
+_SDL_MIXER_LOCK = threading.Lock()
+
+
 def _decode_mp3(path: Path) -> tuple[np.ndarray, int] | None:
-    # UNTESTED in this image: minimp3py is not installed and no MP3 corpus
-    # ships — this path has never executed here. It mirrors the reference's
-    # optional decoder hook (reference datasets/audio.py:93-132).
+    """MP3: ``minimp3py`` when installed (reference parity, reference
+    datasets/audio.py:93-132), else the platform codec via SDL_mixer —
+    the backend that actually runs in this image (tests/test_mp3.py
+    exercises it on real MP3 files)."""
     try:
         import minimp3py
     except ImportError:
-        return None
+        return _decode_mp3_sdl(path)
     data, rate = minimp3py.read(str(path))
     return np.asarray(data, dtype=np.float32).T, int(rate)
 
@@ -164,30 +265,50 @@ def glob_audio_files(data_dir: str | Path, seed: int = 0) -> list[Path]:
 
 def load_audio_files(files: list[Path], prefetch: int = 2,
                      target_rate: int = TARGET_SAMPLE_RATE,
-                     loop: bool = True) -> Iterator[np.ndarray]:
+                     loop: bool = True,
+                     resample: bool = False) -> Iterator[np.ndarray]:
     """Threaded prefetch decode. A daemon worker fills a *bounded blocking*
     queue; decode failures are skipped (reference audio.py:93-132).
     ``prefetch=0`` decodes synchronously in the consumer (no worker thread) —
-    the ablation baseline for benchmark_prefetch."""
+    the ablation baseline for benchmark_prefetch.
+
+    A full pass in which *every* file is dropped (undecodable or off-rate
+    with ``resample=False``) raises RuntimeError instead of spinning — a
+    looped pipeline over such a corpus would otherwise hang forever.
+    """
     if prefetch <= 0:
-        return _load_audio_files_sync(files, target_rate, loop)
-    return _load_audio_files_threaded(files, prefetch, target_rate, loop)
+        return _load_audio_files_sync(files, target_rate, loop, resample)
+    return _load_audio_files_threaded(files, prefetch, target_rate, loop,
+                                      resample)
 
 
-def _load_audio_files_sync(files, target_rate, loop):
+def _no_decodable_error(files, target_rate) -> RuntimeError:
+    return RuntimeError(
+        f"None of the {len(files)} audio files decoded to usable frames "
+        f"(undecodable, or sample rate != {target_rate} with resample "
+        "disabled — pass resample=True / config.resample_audio to convert)")
+
+
+def _load_audio_files_sync(files, target_rate, loop, resample=False):
     while True:
+        yielded = False
         for path in files:
-            audio = load_audio_file(path, target_rate)
+            audio = load_audio_file(path, target_rate, resample=resample)
             if audio is not None:
+                yielded = True
                 yield audio
+        if not yielded:
+            raise _no_decodable_error(files, target_rate)
         if not loop:
             return
 
 
-def _load_audio_files_threaded(files, prefetch, target_rate, loop):
+def _load_audio_files_threaded(files, prefetch, target_rate, loop,
+                               resample=False):
     q: queue.Queue = queue.Queue(maxsize=max(1, prefetch))
     stop = threading.Event()
     _SENTINEL = object()
+    _STARVED = object()
 
     def put_checked(item) -> bool:
         """Blocking put that periodically rechecks stop, so a producer
@@ -204,12 +325,18 @@ def _load_audio_files_threaded(files, prefetch, target_rate, loop):
 
     def worker():
         while not stop.is_set():
+            yielded = False
             for path in files:
                 if stop.is_set():
                     return
-                audio = load_audio_file(path, target_rate)
-                if audio is not None and not put_checked(audio):
-                    return
+                audio = load_audio_file(path, target_rate, resample=resample)
+                if audio is not None:
+                    yielded = True
+                    if not put_checked(audio):
+                        return
+            if not yielded:
+                put_checked(_STARVED)
+                return
             if not loop:
                 put_checked(_SENTINEL)
                 return
@@ -221,6 +348,8 @@ def _load_audio_files_threaded(files, prefetch, target_rate, loop):
             item = q.get()
             if item is _SENTINEL:
                 return
+            if item is _STARVED:
+                raise _no_decodable_error(files, target_rate)
             yield item
     finally:
         stop.set()
@@ -284,18 +413,22 @@ def build_audio_pipeline(data_dir: str | Path, seed: int = 0,
                          frame_size: int = DEFAULT_FRAME_SIZE,
                          prefetch: int = 2, buffer_size: int = 16,
                          batch_size: int = 32, loop: bool = True,
-                         native: bool | None = None) -> Iterator[np.ndarray]:
+                         native: bool | None = None,
+                         resample: bool = False) -> Iterator[np.ndarray]:
     """Full pipeline: yields [B, frame_size, 2] float32 batches
     (reference audio.py:35-65).
 
     ``native=None`` auto-selects the C++ loader core (decode + framing +
     shuffle + threaded prefetch in native code) for all-WAV corpora when the
     toolchain is available; MP3 corpora use the Python stages.
+    ``resample=True`` polyphase-converts off-rate files to 44.1 kHz in the
+    Python tier instead of dropping them (forces the Python stages — the
+    native core has no resampler).
     """
     files = glob_audio_files(data_dir, seed)
     if not files:
         raise FileNotFoundError(f"No audio files under {data_dir}")
-    if native is None or native:
+    if (native is None or native) and not resample:
         all_wav = all(f.suffix.lower() in NATIVE_EXTENSIONS for f in files)
         if all_wav or native:
             from meanflow_audio_codec_tpu.data import native as native_mod
@@ -309,7 +442,8 @@ def build_audio_pipeline(data_dir: str | Path, seed: int = 0,
                 raise RuntimeError(
                     f"native loader requested but unavailable: "
                     f"{native_mod.load_error()}")
-    stream = load_audio_files(files, prefetch=prefetch, loop=loop)
+    stream = load_audio_files(files, prefetch=prefetch, loop=loop,
+                              resample=resample)
     stream = audio_to_frames(stream, frame_size, seed=seed)
     stream = buffer_shuffle(stream, buffer_size, seed=seed)
     return batch(stream, batch_size)

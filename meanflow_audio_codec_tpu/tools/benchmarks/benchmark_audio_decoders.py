@@ -49,6 +49,20 @@ def _decode_minimp3(path: Path) -> int:
     return int(np.asarray(data).size)
 
 
+def _decode_sdl_mixer(path: Path) -> int:
+    from meanflow_audio_codec_tpu.data.audio import _decode_mp3_sdl
+    decoded = _decode_mp3_sdl(path)
+    if decoded is None:
+        raise RuntimeError("SDL_mixer (pygame) unavailable")
+    return decoded[0].size
+
+
+#: real MP3 asset baked into the image (pygame example data); used when a
+#: corpus has no .mp3 files, since this image cannot encode MP3.
+IN_IMAGE_MP3 = Path("/opt/venv/lib/python3.12/site-packages/pygame/"
+                    "examples/data/house_lo.mp3")
+
+
 def _decode_soundfile(path: Path) -> int:
     import soundfile
     data, _ = soundfile.read(str(path), dtype="float32")
@@ -69,6 +83,7 @@ BACKENDS: dict[str, tuple[Callable[[Path], int], str]] = {
     "soundfile": (_decode_soundfile, ".wav"),
     "librosa": (_decode_librosa, ".wav"),
     "minimp3py": (_decode_minimp3, ".mp3"),
+    "sdl_mixer": (_decode_sdl_mixer, ".mp3"),
 }
 
 
@@ -118,6 +133,9 @@ def main(argv: list[str] | None = None) -> int:
                                    num_clips=args.n_files,
                                    seconds=args.seconds, fmt="flac")
         files = glob_audio_files(data_dir, seed=0)
+        if (not any(f.suffix == ".mp3" for f in files)
+                and IN_IMAGE_MP3.exists()):
+            files = files + [IN_IMAGE_MP3]
         for name in args.backends:
             print(json.dumps(bench_backend(name, files, args.repeats)),
                   flush=True)

@@ -118,7 +118,8 @@ def make_dataset_iterator(config: TrainFlowConfig) -> Iterator[np.ndarray]:
         if config.data_dir and Path(config.data_dir).exists():
             return build_audio_pipeline(
                 config.data_dir, seed=config.seed, frame_size=frame_size,
-                batch_size=config.batch_size)
+                batch_size=config.batch_size,
+                resample=bool(getattr(config, "resample_audio", False)))
         print("No audio data_dir found; using synthetic audio source")
         source = synthetic_pipeline_for_family(
             tok_cfg.get("synthetic_family"), seed=config.seed,

@@ -240,3 +240,40 @@ def test_prefetch_batches_propagates_producer_error():
     next(it)
     with pytest.raises(RuntimeError, match="prefetch producer failed"):
         list(it)
+
+
+def test_offrate_corpus_starvation_raises(tmp_path):
+    """A looped corpus in which every file is dropped (off-rate, resample
+    off) must raise instead of blocking forever (the pre-fix behavior:
+    q.get() hangs on an empty queue while the worker spins)."""
+    write_wav(tmp_path / "off.wav", np.zeros((1000, 2), np.float32),
+              sample_rate=22050)
+    stream = build_audio_pipeline(tmp_path, frame_size=256, batch_size=1,
+                                  native=False)
+    with pytest.warns(UserWarning, match="sample rate"):
+        with pytest.raises(RuntimeError, match="resample"):
+            next(stream)
+
+
+def test_offrate_corpus_starvation_raises_sync(tmp_path):
+    from meanflow_audio_codec_tpu.data.audio import load_audio_files
+    write_wav(tmp_path / "off.wav", np.zeros((1000, 2), np.float32),
+              sample_rate=22050)
+    stream = load_audio_files([tmp_path / "off.wav"], prefetch=0)
+    with pytest.warns(UserWarning, match="sample rate"):
+        with pytest.raises(RuntimeError, match="resample"):
+            next(stream)
+
+
+def test_pipeline_resamples_offrate_corpus(tmp_path):
+    """resample=True converts a 22.05 kHz corpus to 44.1 kHz frames in the
+    Python tier (no reference counterpart: its loader dropped such files)."""
+    sr = 22050
+    t = np.arange(sr) / sr
+    tone = np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    write_wav(tmp_path / "off.wav", np.stack([tone, tone], 1), sample_rate=sr)
+    stream = build_audio_pipeline(tmp_path, frame_size=1024, batch_size=2,
+                                  buffer_size=4, resample=True)
+    batch_out = next(stream)
+    assert batch_out.shape == (2, 1024, 2)
+    assert float(np.abs(batch_out).max()) > 0.1

@@ -78,6 +78,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="post-warmup LR decay (cosine decays to "
                         "lr-final-fraction * base-lr over n-steps)")
     p.add_argument("--lr-final-fraction", type=float, default=None)
+    p.add_argument("--resample-audio", action="store_true",
+                   help="polyphase-resample off-rate corpus files to "
+                        "44.1 kHz instead of dropping them")
     p.add_argument("--skip-nonfinite", action="store_true",
                    help="drop NaN/inf updates in-graph (long-run insurance)")
     p.add_argument("--steps-per-call", type=int, default=None,
@@ -111,7 +114,8 @@ def config_from_args(args) -> "TrainFlowConfig":
                       json.loads(args.architecture_options)
                       if args.architecture_options else None)},
         "dataset": {"data_dir": args.data_dir,
-                    "tokenization_strategy": args.tokenization},
+                    "tokenization_strategy": args.tokenization,
+                    "resample_audio": args.resample_audio or None},
         "method": {"method": args.method, "gamma": args.gamma,
                    "time_sampling_full_proportion":
                        args.full_interval_proportion},
