@@ -152,7 +152,11 @@ def _decode_mp3_sdl(path: Path) -> tuple[np.ndarray, int] | None:
     The mixer converts to its init format at load, so we parse the frame
     header first and (re)init the mixer at the file's native rate — the
     decode itself is then unresampled. Serialized by a lock: the mixer is
-    process-global state and decoders run in prefetch worker threads.
+    process-global state and decoders run in prefetch worker threads. The
+    mixer is quit again in the same critical section: leaving it open from
+    a worker thread makes SDL's atexit teardown (which runs on the main
+    thread) spin forever — observed as a train process burning a full CPU
+    for 30+ minutes after a clean exit code was computed.
     """
     try:
         import os
@@ -166,11 +170,12 @@ def _decode_mp3_sdl(path: Path) -> tuple[np.ndarray, int] | None:
         return None
     rate, channels = info
     with _SDL_MIXER_LOCK:
-        if mixer.get_init() != (rate, -16, channels):
-            mixer.quit()
+        try:
             mixer.init(frequency=rate, size=-16, channels=channels)
-        sound = mixer.Sound(str(path))
-        pcm = sndarray.array(sound)
+            sound = mixer.Sound(str(path))
+            pcm = sndarray.array(sound)
+        finally:
+            mixer.quit()
     audio = pcm.astype(np.float32) / 32768.0
     if audio.ndim == 1:
         audio = audio[:, None]
