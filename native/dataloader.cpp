@@ -27,6 +27,7 @@
 // Build: make -C native   (g++ -O3 -shared -fPIC)
 
 #include <algorithm>
+#include <array>
 #include <atomic>
 #include <cmath>
 #include <condition_variable>
@@ -279,51 +280,73 @@ bool decode_aiff(const char* path, WavData* out) {
 // ship in, and unlike MP3 its decode is exactly invertible, which the
 // round-trip tests exploit (tests/test_native_flac.py).
 
+// Table-driven CRCs (poly 0x07 / 0x8005, FLAC spec). Magic-static init is
+// thread-safe (loader decode runs on multiple worker threads).
 uint8_t flac_crc8(const unsigned char* d, size_t n) {
+  static const std::array<uint8_t, 256> kTab = [] {
+    std::array<uint8_t, 256> t{};
+    for (int i = 0; i < 256; ++i) {
+      uint8_t c = uint8_t(i);
+      for (int b = 0; b < 8; ++b)
+        c = (c & 0x80) ? uint8_t((c << 1) ^ 0x07) : uint8_t(c << 1);
+      t[i] = c;
+    }
+    return t;
+  }();
   uint8_t c = 0;
-  for (size_t i = 0; i < n; ++i) {
-    c ^= d[i];
-    for (int b = 0; b < 8; ++b) c = (c & 0x80) ? uint8_t((c << 1) ^ 0x07) : uint8_t(c << 1);
-  }
+  for (size_t i = 0; i < n; ++i) c = kTab[c ^ d[i]];
   return c;
 }
 
 uint16_t flac_crc16(const unsigned char* d, size_t n) {
+  static const std::array<uint16_t, 256> kTab = [] {
+    std::array<uint16_t, 256> t{};
+    for (int i = 0; i < 256; ++i) {
+      uint16_t c = uint16_t(i) << 8;
+      for (int b = 0; b < 8; ++b)
+        c = (c & 0x8000) ? uint16_t((c << 1) ^ 0x8005) : uint16_t(c << 1);
+      t[i] = c;
+    }
+    return t;
+  }();
   uint16_t c = 0;
-  for (size_t i = 0; i < n; ++i) {
-    c ^= uint16_t(d[i]) << 8;
-    for (int b = 0; b < 8; ++b)
-      c = (c & 0x8000) ? uint16_t((c << 1) ^ 0x8005) : uint16_t(c << 1);
-  }
+  for (size_t i = 0; i < n; ++i)
+    c = uint16_t((c << 8) ^ kTab[(c >> 8) ^ d[i]]);
   return c;
 }
 
-// MSB-first bit reader over an in-memory buffer with byte-position access
-// for the CRC spans (frame headers and frame ends are byte-aligned by spec).
+// MSB-first bit reader over an in-memory buffer. Every read is one
+// unaligned 64-bit load + bswap + shift at an absolute bit position, so the
+// Rice-decode hot loop (one unary + one k-bit read per sample) costs a clz
+// and a couple of shifts with no per-byte refill loop. REQUIRES >= 8 zero
+// pad bytes beyond data[size] (decode_flac appends them): loads near EOF
+// run into the pad, and the pad being zero keeps clz counts and value bits
+// honest (EOF is enforced by the explicit `avail` checks, not the data).
 struct FlacBits {
   const unsigned char* data;
-  size_t size;
-  size_t byte = 0;  // next byte index
-  int bit = 0;      // bits consumed within data[byte], 0..7
+  size_t size;    // logical size in bytes (pad excluded)
+  size_t bitpos;  // absolute bit position, 0 .. size*8
 
-  bool read_bits(int n, uint64_t* out) {  // n in [0, 57]
-    uint64_t v = 0;
-    while (n > 0) {
-      if (byte >= size) return false;
-      const int avail = 8 - bit;
-      const int take = n < avail ? n : avail;
-      const unsigned cur = (unsigned(data[byte]) >> (avail - take)) &
-                           ((1u << take) - 1);
-      v = (v << take) | cur;
-      bit += take;
-      if (bit == 8) { bit = 0; ++byte; }
-      n -= take;
-    }
-    *out = v;
+  FlacBits(const unsigned char* d, size_t s, size_t start_byte)
+      : data(d), size(s), bitpos(start_byte * 8) {}
+
+  // Next >= 57 bits, left-aligned (top (64 - bitpos%8) bits are valid).
+  inline uint64_t peek64() const {
+    uint64_t w;
+    memcpy(&w, data + (bitpos >> 3), 8);
+    w = __builtin_bswap64(w);
+    return w << (bitpos & 7);
+  }
+
+  inline bool read_bits(int n, uint64_t* out) {  // n in [0, 57]
+    if (n == 0) { *out = 0; return true; }
+    if (bitpos + size_t(n) > size * 8) return false;  // truncated stream
+    *out = peek64() >> (64 - n);
+    bitpos += size_t(n);
     return true;
   }
 
-  bool read_signed(int n, int64_t* out) {
+  inline bool read_signed(int n, int64_t* out) {
     if (n == 0) { *out = 0; return true; }
     uint64_t v;
     if (!read_bits(n, &v)) return false;
@@ -332,23 +355,44 @@ struct FlacBits {
     return true;
   }
 
-  bool read_unary(uint32_t* out) {
+  inline bool read_unary(uint32_t* out) {
     uint32_t q = 0;
     for (;;) {
-      uint64_t b;
-      if (!read_bits(1, &b)) return false;
-      if (b) { *out = q; return true; }
-      if (++q > 1u << 24) return false;  // malformed: absurd quotient
+      size_t avail = size * 8 - bitpos;
+      if (avail == 0) return false;  // EOF before the terminating 1
+      if (avail > 57) avail = 57;
+      const uint64_t w = peek64();
+      const int lz = w ? __builtin_clzll(w) : 64;
+      if (size_t(lz) >= avail) {  // zeros run to (at least) the window end
+        q += uint32_t(avail);
+        bitpos += avail;
+        if (q > 1u << 24) return false;  // malformed: absurd quotient
+        continue;
+      }
+      q += uint32_t(lz);
+      if (q > 1u << 24) return false;
+      bitpos += size_t(lz) + 1;
+      *out = q;
+      return true;
     }
   }
 
-  bool align() {  // discard pad bits to the next byte boundary
-    if (bit == 0) return true;
-    uint64_t pad;
-    return read_bits(8 - bit, &pad);
+  inline bool align() {  // discard pad bits to the next byte boundary
+    bitpos = (bitpos + 7) & ~size_t(7);
+    return bitpos <= size * 8;
   }
 
-  bool at_eof() const { return byte >= size; }
+  // Next unconsumed byte index; valid only at byte-aligned points.
+  size_t byte_pos() const { return bitpos >> 3; }
+
+  bool skip_bytes(uint64_t n) {  // aligned skip (metadata blocks)
+    const size_t pos = byte_pos();
+    if (n > size - pos) return false;
+    bitpos = (pos + size_t(n)) * 8;
+    return true;
+  }
+
+  bool at_eof() const { return bitpos >= size * 8; }
 };
 
 // UTF-8-style coded number (frame/sample index, up to 36 bits / 7 bytes).
@@ -397,14 +441,41 @@ bool flac_residual(FlacBits* br, int pred_order, uint32_t blocksize,
         (*s)[idx++] = v;
       }
     } else {
+      // Rice fast path: one 64-bit peek serves both the unary quotient and
+      // the k remainder bits whenever they fit in the same window (the
+      // overwhelmingly common case: q is small by construction of a
+      // cost-optimal k). Keeps the bit cursor in a register for the whole
+      // partition instead of bouncing through the struct per sample.
+      const int k = int(param);
+      const unsigned char* base = br->data;
+      const size_t end = br->size * 8;
+      size_t bp = br->bitpos;
+      int64_t* sp = s->data();
       for (uint32_t i = 0; i < count; ++i) {
-        uint32_t q;
-        uint64_t r = 0;
-        if (!br->read_unary(&q)) return false;
-        if (param && !br->read_bits(int(param), &r)) return false;
-        const uint64_t u = (uint64_t(q) << param) | r;
-        (*s)[idx++] = int64_t(u >> 1) ^ -int64_t(u & 1);  // zigzag
+        uint64_t w;
+        memcpy(&w, base + (bp >> 3), 8);
+        w = __builtin_bswap64(w) << (bp & 7);
+        size_t avail = end - bp;
+        if (avail > 57) avail = 57;
+        const int lz = w ? __builtin_clzll(w) : 64;
+        uint64_t u;
+        if (size_t(lz) + 1 + size_t(k) <= avail) {
+          const uint64_t r =
+              k ? (w << (lz + 1)) >> (64 - k) : 0;  // lz+1 <= 57 here
+          u = (uint64_t(lz) << k) | r;
+          bp += size_t(lz) + 1 + size_t(k);
+        } else {  // window-straddling or near-EOF: per-field slow path
+          br->bitpos = bp;
+          uint32_t q;
+          uint64_t r = 0;
+          if (!br->read_unary(&q)) return false;
+          if (k && !br->read_bits(k, &r)) return false;
+          bp = br->bitpos;
+          u = (uint64_t(q) << k) | r;
+        }
+        sp[idx++] = int64_t(u >> 1) ^ -int64_t(u & 1);  // zigzag
       }
+      br->bitpos = bp;
     }
   }
   return idx == blocksize;
@@ -488,14 +559,14 @@ bool decode_flac(const char* path, WavData* out) {
     const long fsz = ftell(f);
     fseek(f, 0, SEEK_SET);
     if (fsz < 42 || fsz > (1L << 30)) { fclose(f); return false; }
-    buf.resize(size_t(fsz));
-    const bool got = read_exact(f, buf.data(), buf.size());
+    buf.resize(size_t(fsz) + 8, 0);  // 8 zero pad bytes for FlacBits loads
+    const bool got = read_exact(f, buf.data(), size_t(fsz));
     fclose(f);
     if (!got) return false;
   }
   if (memcmp(buf.data(), "fLaC", 4)) return false;
 
-  FlacBits br{buf.data(), buf.size(), 4, 0};
+  FlacBits br(buf.data(), buf.size() - 8, 4);
   // Metadata blocks; STREAMINFO (type 0) must come first.
   uint32_t sample_rate = 0;
   int channels = 0, bps = 0;
@@ -526,10 +597,7 @@ bool decode_flac(const char* path, WavData* out) {
       have_streaminfo = true;
     } else {
       if (!have_streaminfo) return false;  // STREAMINFO must be first
-      for (uint64_t i = 0; i < blen; ++i) {
-        uint64_t skip;
-        if (!br.read_bits(8, &skip)) return false;
-      }
+      if (!br.skip_bytes(blen)) return false;
     }
   }
   if (!have_streaminfo || sample_rate == 0 || channels < 1 || channels > 8 ||
@@ -544,7 +612,7 @@ bool decode_flac(const char* path, WavData* out) {
   std::vector<int64_t> ch[8];
   uint64_t decoded = 0;
   while (total_samples ? decoded < total_samples : !br.at_eof()) {
-    const size_t frame_start = br.byte;  // byte-aligned here by spec
+    const size_t frame_start = br.byte_pos();  // byte-aligned here by spec
     uint64_t sync, v;
     if (!br.read_bits(14, &sync)) {
       if (!total_samples) break;  // clean EOF, unknown-length stream
@@ -588,7 +656,7 @@ bool decode_flac(const char* path, WavData* out) {
     uint8_t crc8_read;
     {
       uint64_t c;
-      const size_t hdr_end = br.byte;
+      const size_t hdr_end = br.byte_pos();
       if (!br.read_bits(8, &c)) return false;
       crc8_read = uint8_t(c);
       if (flac_crc8(buf.data() + frame_start, hdr_end - frame_start) !=
@@ -615,7 +683,7 @@ bool decode_flac(const char* path, WavData* out) {
     if (!br.align()) return false;
     {
       uint64_t c;
-      const size_t body_end = br.byte;
+      const size_t body_end = br.byte_pos();
       if (!br.read_bits(16, &c)) return false;
       if (flac_crc16(buf.data() + frame_start, body_end - frame_start) !=
           uint16_t(c))
@@ -640,9 +708,21 @@ bool decode_flac(const char* path, WavData* out) {
     if ((out->samples.size() + size_t(emit) * channels) > kMaxTotal)
       return false;
     const float scale = 1.0f / float(1u << (bps - 1));
-    for (uint32_t i = 0; i < emit; ++i)
-      for (int c = 0; c < channels; ++c)
-        out->samples.push_back(float(ch[c][i]) * scale);
+    const size_t wr = out->samples.size();
+    out->samples.resize(wr + size_t(emit) * channels);
+    float* dst = out->samples.data() + wr;
+    if (channels == 2) {  // the corpus-dominant layout, kept branch-free
+      const int64_t* a = ch[0].data();
+      const int64_t* b = ch[1].data();
+      for (uint32_t i = 0; i < emit; ++i) {
+        dst[2 * i] = float(a[i]) * scale;
+        dst[2 * i + 1] = float(b[i]) * scale;
+      }
+    } else {
+      for (uint32_t i = 0; i < emit; ++i)
+        for (int c = 0; c < channels; ++c)
+          *dst++ = float(ch[c][i]) * scale;
+    }
     decoded += emit;
   }
   if (total_samples && decoded != total_samples) return false;
