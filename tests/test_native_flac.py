@@ -185,3 +185,35 @@ def test_pipeline_routes_flac_natively(tmp_path):
                                 batch_size=2, buffer_size=8)
     batch = next(iter(pipe))
     assert batch.shape == (2, 1024, 2)
+
+
+def test_fuzz_mutated_flac_never_crashes(tmp_path):
+    """Single-byte mutations and truncations of a valid stream must decode
+    to either a clean result or a clean failure — never a crash (the
+    decoder does raw-pointer bitstream work; this guards its arithmetic).
+    Frame bodies are CRC-16-protected so most mutations must be rejected;
+    STREAMINFO is not CRC'd, so a changed header may still decode."""
+    rng = np.random.default_rng(99)
+    t = np.arange(4096 * 3) / 44100.0
+    audio = np.stack([np.sin(2 * np.pi * 330 * t),
+                      np.sin(2 * np.pi * 550 * t)], axis=1) * 0.7
+    path = tmp_path / "base.flac"
+    write_flac_pcm16(path, audio.astype(np.float32), 44100)
+    data = bytearray(path.read_bytes())
+
+    mutated = tmp_path / "mut.flac"
+    for trial in range(300):
+        buf = bytearray(data)
+        pos = int(rng.integers(0, len(buf)))
+        buf[pos] ^= int(rng.integers(1, 256))
+        mutated.write_bytes(bytes(buf))
+        native.decode_audio_native(mutated)  # must simply not crash
+
+    for trial in range(60):
+        cut = int(rng.integers(0, len(data)))
+        mutated.write_bytes(bytes(data[:cut]))
+        native.decode_audio_native(mutated)
+
+    # Sanity: the unmutated file still round-trips.
+    decoded = native.decode_audio_native(path)
+    assert decoded is not None and decoded[1] == 44100
