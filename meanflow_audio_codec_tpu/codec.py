@@ -169,14 +169,24 @@ class AudioCodec:
         return StreamingCodec(self, key=key, nfe=nfe)
 
     # ---- bitstream (stored format) --------------------------------------------
-    def encode_packed(self, audio, bits: int = 8):
+    def encode_packed(self, audio, bits: int = 8,
+                      step_frac: float | None = None):
         """audio -> quantized LatentBitstream (the stored codec format).
 
-        Per-frame symmetric scalar quantization (ops/latent_quant.py);
-        ``bitrate_kbps(bits)`` is the resulting storage rate.
+        Default: per-frame symmetric scalar quantization at ``bits``
+        (ops/latent_quant.py); ``bitrate_kbps(bits)`` is the resulting
+        storage rate. ``step_frac`` switches to the rate-aware
+        mean-removed ECSQ format (MACB v2) — the continuous rate knob
+        (smaller = higher rate/quality; 0.5 ~ 140 kbps on the v2 codec).
         """
-        from meanflow_audio_codec_tpu.ops.latent_quant import quantize_latents
-        return quantize_latents(self.encode(audio), bits=bits)
+        from meanflow_audio_codec_tpu.ops.latent_quant import (
+            quantize_latents,
+            quantize_latents_ecsq,
+        )
+        latents = self.encode(audio)
+        if step_frac is not None:
+            return quantize_latents_ecsq(latents, step_frac=step_frac)
+        return quantize_latents(latents, bits=bits)
 
     def decode_packed(self, bitstream, nfe: int = 1, key=None) -> jnp.ndarray:
         """LatentBitstream -> audio; the 1-NFE flow doubles as the
@@ -193,11 +203,14 @@ class AudioCodec:
         return bitstream_kbps(self.latent_dim, self.frames_per_second,
                               bits=bits)
 
-    def encode_bytes(self, audio, bits: int = 8) -> bytes:
+    def encode_bytes(self, audio, bits: int = 8,
+                     step_frac: float | None = None) -> bytes:
         """audio -> actual stored bytes (quantize + native rANS entropy
-        coding when available). The full codec write path."""
+        coding when available). The full codec write path; ``step_frac``
+        selects the rate-aware ECSQ format (see ``encode_packed``)."""
         from meanflow_audio_codec_tpu.ops.latent_quant import pack_bitstream
-        return pack_bitstream(self.encode_packed(audio, bits=bits))
+        return pack_bitstream(
+            self.encode_packed(audio, bits=bits, step_frac=step_frac))
 
     def decode_bytes(self, data: bytes, nfe: int = 1, key=None):
         """Stored bytes -> audio. The full codec read path."""

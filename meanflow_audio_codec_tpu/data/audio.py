@@ -161,6 +161,9 @@ def _decode_mp3_sdl(path: Path) -> tuple[np.ndarray, int] | None:
     try:
         import os
         os.environ.setdefault("SDL_AUDIODRIVER", "dummy")
+        # the import-time banner would corrupt JSON-lines stdout of tools
+        # that decode (benchmark_audio_decoders, codec_cli pipelines)
+        os.environ.setdefault("PYGAME_HIDE_SUPPORT_PROMPT", "1")
         import pygame.mixer as mixer
         import pygame.sndarray as sndarray
     except Exception:

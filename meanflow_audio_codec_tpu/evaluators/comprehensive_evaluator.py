@@ -49,7 +49,8 @@ class ComprehensiveEvaluator:
     def __init__(self, checkpoint_path: Path | str, config: TrainFlowConfig,
                  nfe_list: list[int] | None = None, num_samples: int = 64,
                  batch_size: int = 32, seed: int = 0,
-                 latent_bits: int | None = None):
+                 latent_bits: int | None = None,
+                 latent_step: float | None = None):
         self.config = config
         self.nfe_list = nfe_list or list(DEFAULT_NFE_SWEEP)
         self.num_samples = num_samples
@@ -57,8 +58,11 @@ class ComprehensiveEvaluator:
         self.seed = seed
         #: When set, decode from the quantized stored format
         #: (ops/latent_quant.py) instead of float latents — measures the
-        #: bitstream's quality cost at a real kbps.
+        #: bitstream's quality cost at a real kbps. ``latent_step`` selects
+        #: the rate-aware ECSQ format (MACB v2) at that step fraction and
+        #: takes precedence over the fixed-width ``latent_bits``.
         self.latent_bits = latent_bits
+        self.latent_step = latent_step
         self.state, self.model = load_flow_state(checkpoint_path, config)
         self.noise_dim = config.noise_dimension
         strategy = create_tokenization_strategy(config.tokenization_strategy,
@@ -103,14 +107,28 @@ class ComprehensiveEvaluator:
             {"params": p}, self.adapter.tokenize(raw), method="encode"))
         latents = encode(self.eval_params, jnp.asarray(data))
         force_completion(latents)
-        if self.latent_bits:
+        if self.latent_bits or self.latent_step:
             from meanflow_audio_codec_tpu.ops.latent_quant import (
                 dequantize_latents,
+                pack_bitstream,
                 quantize_latents,
+                quantize_latents_ecsq,
             )
-            latents = dequantize_latents(
-                quantize_latents(latents, bits=self.latent_bits))
-            results["latent_bits"] = self.latent_bits
+            if self.latent_step:
+                bitstream = quantize_latents_ecsq(latents,
+                                                  step_frac=self.latent_step)
+                results["latent_step"] = self.latent_step
+            else:
+                bitstream = quantize_latents(latents, bits=self.latent_bits)
+                results["latent_bits"] = self.latent_bits
+            latents = dequantize_latents(bitstream)
+            if self.config.dataset == "audio":
+                # real stored rate: rANS-coded bytes over the audio duration
+                # (44.1 kHz convention, data is [N, frame_size, channels])
+                packed = pack_bitstream(bitstream)
+                duration_s = data.shape[0] * data.shape[1] / 44100.0
+                results["bitstream_kbps_measured"] = (
+                    len(packed) * 8 / duration_s / 1000.0)
         key = jax.random.PRNGKey(self.seed)
 
         for nfe in self.nfe_list:

@@ -21,6 +21,19 @@ applied to a real storage format.
 
 Per-frame (not per-clip) scales keep quiet frames precise next to loud
 ones; symmetric quantization keeps zero exact (silence).
+
+Two quantizer modes share the container:
+
+- **MACB v1** (:func:`quantize_latents`): fixed-width symmetric codes,
+  scale = per-frame peak / qmax. Simple, streaming-friendly (no
+  cross-frame state).
+- **MACB v2** (:func:`quantize_latents_ecsq`): mean-removed
+  entropy-constrained scalar quantization — subtract a per-clip per-dim
+  mean vector (the encoder's static offsets carry ~94% of latent energy),
+  then quantize with a step proportional to the per-frame residual std.
+  ``step_frac`` is a continuous rate knob; combined with the rANS coder
+  it dominates v1's rate-distortion curve (measured: 98 kbps at
+  22.7 dB latent SNR vs v1-4-bit's 105 kbps at 15.4 dB).
 """
 
 from __future__ import annotations
@@ -46,22 +59,36 @@ class LatentBitstream:
     device_put / serialization like any array bundle. ``qbits`` records
     the quantizer width when it is narrower than the storage dtype
     (4-bit codes ride int8 arrays); 0 means dtype-implied.
+
+    The ECSQ mode (:func:`quantize_latents_ecsq`) additionally carries a
+    per-clip per-dim *mean vector* as int8 codes + one float32 scale per
+    clip (``mean_codes`` ``[B, 1, latent_dim]``, ``mean_scale``
+    ``[B, 1, 1]``): the encoder's latent space has large static per-dim
+    offsets (~94% of latent energy on the v2 codec), so subtracting a
+    1-per-clip mean before scalar quantization buys ~2 bits/code of
+    entropy at equal distortion. ``None`` for plain width-quantized
+    streams (MACB v1).
     """
 
     codes: jnp.ndarray
     scale: jnp.ndarray
     qbits: int = 0
+    mean_codes: jnp.ndarray | None = None
+    mean_scale: jnp.ndarray | None = None
 
     @property
     def bits(self) -> int:
         return self.qbits or jnp.dtype(self.codes.dtype).itemsize * 8
 
     def tree_flatten(self):
-        return (self.codes, self.scale), self.qbits
+        return (self.codes, self.scale,
+                self.mean_codes, self.mean_scale), self.qbits
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, qbits=aux)
+        codes, scale, mean_codes, mean_scale = children
+        return cls(codes, scale, qbits=aux,
+                   mean_codes=mean_codes, mean_scale=mean_scale)
 
 
 @partial(jax.jit, static_argnames=("bits",))
@@ -80,10 +107,50 @@ def quantize_latents(latents: jnp.ndarray, bits: int = 8) -> LatentBitstream:
                            scale.astype(jnp.float32), qbits=qbits)
 
 
+@partial(jax.jit, static_argnames=("step_frac",))
+def quantize_latents_ecsq(latents: jnp.ndarray,
+                          step_frac: float = 0.5) -> LatentBitstream:
+    """Mean-removed entropy-constrained scalar quantization (MACB v2).
+
+    The rate-aware stored format: subtract a per-clip per-dim mean
+    (itself 8-bit quantized — static encoder offsets carry ~94% of the
+    latent energy but no per-frame information), then quantize the
+    residual on a uniform grid whose step is ``step_frac`` x the
+    per-frame residual std, stored as int8 and entropy-coded by the
+    native rANS at pack time. ``step_frac`` is a *continuous* rate knob:
+    measured on the v2 codec latents, 1.0 ~ 98 kbps / 22.7 dB latent
+    SNR, 0.5 ~ 140 kbps / 28.7 dB, 0.15 ~ 215 kbps / 39.2 dB — the last
+    matching the plain 8-bit peak format (283 kbps) ~70 kbps cheaper.
+    Uniform-grid + entropy coding is near-R-D-optimal for smooth
+    sources (ECSQ, within 0.255 bit of the bound at high rate), which
+    is why this replaces a Lloyd-Max codebook.
+
+    Accepts ``[B, nf, D]`` (per-clip means) or ``[nf, D]`` (one stream).
+    The quantized-mean reconstruction error folds into the residual, so
+    decode error stays bounded by step/2 per element.
+    """
+    z = latents.astype(jnp.float32)
+    mean = jnp.mean(z, axis=-2, keepdims=True)
+    mean_scale = jnp.maximum(
+        jnp.max(jnp.abs(mean), axis=-1, keepdims=True), 1e-12) / 127.0
+    mean_codes = jnp.clip(jnp.round(mean / mean_scale), -127, 127)
+    resid = z - mean_codes * mean_scale
+    step = jnp.maximum(jnp.std(resid, axis=-1, keepdims=True),
+                       1e-12) * step_frac
+    codes = jnp.clip(jnp.round(resid / step), -127, 127)
+    return LatentBitstream(codes.astype(jnp.int8), step.astype(jnp.float32),
+                           mean_codes=mean_codes.astype(jnp.int8),
+                           mean_scale=mean_scale.astype(jnp.float32))
+
+
 @jax.jit
 def dequantize_latents(bitstream: LatentBitstream) -> jnp.ndarray:
-    """Codes + scales -> [B, nf, D] float32 latents."""
-    return bitstream.codes.astype(jnp.float32) * bitstream.scale
+    """Codes + scales (+ mean vector for ECSQ streams) -> float32 latents."""
+    out = bitstream.codes.astype(jnp.float32) * bitstream.scale
+    if bitstream.mean_codes is not None:
+        out = out + (bitstream.mean_codes.astype(jnp.float32)
+                     * bitstream.mean_scale)
+    return out
 
 
 def bitstream_kbps(latent_dim: int, frames_per_second: float,
@@ -115,6 +182,9 @@ def pack_bitstream(bitstream: LatentBitstream,
 
     codes = np.asarray(bitstream.codes)
     scale = np.asarray(bitstream.scale, dtype=np.float32)
+    if codes.ndim == 2:  # single-stream [nf, D] from the 2D quantize path
+        codes = codes[None]
+        scale = scale[None]
     b, nf, d = codes.shape
     bits = bitstream.bits
     payload: bytes
@@ -139,10 +209,21 @@ def pack_bitstream(bitstream: LatentBitstream,
             raise ValueError("entropy coding supports int8-stored codes "
                              "(4/8-bit) only")
         payload = codes.tobytes()
-    header = (_MAGIC + bytes([1, bits, flags, 0])
+    # version 2 when a mean vector rides along (ECSQ streams); version 1
+    # (no mean section) stays byte-identical for plain width-quantized
+    # streams, so old readers/writers interoperate unchanged
+    version = 1 if bitstream.mean_codes is None else 2
+    header = (_MAGIC + bytes([version, bits, flags, 0])
               + np.asarray([b, nf, d], dtype="<u4").tobytes())
+    mean_section = b""
+    if version == 2:
+        mean_scale = np.asarray(bitstream.mean_scale, dtype=np.float32)
+        mean_codes = np.asarray(bitstream.mean_codes, dtype=np.int8)
+        mean_section = (mean_scale.reshape(-1).astype("<f4").tobytes()
+                        + mean_codes.tobytes())
     sizes = np.asarray([len(payload)], dtype="<u8").tobytes()
-    return header + scale.astype("<f4").tobytes() + sizes + payload
+    return (header + mean_section + scale.astype("<f4").tobytes()
+            + sizes + payload)
 
 
 def unpack_bitstream(data: bytes) -> LatentBitstream:
@@ -152,25 +233,36 @@ def unpack_bitstream(data: bytes) -> LatentBitstream:
     if data[:4] != _MAGIC:
         raise ValueError("not a MACB latent bitstream")
     version, bits, flags, _ = data[4:8]
-    if version != 1:
+    if version not in (1, 2):
         raise ValueError(f"unsupported bitstream version {version}")
-    b, nf, d = np.frombuffer(data[8:20], dtype="<u4")
+    b, nf, d = (int(x) for x in np.frombuffer(data[8:20], dtype="<u4"))
     off = 20
+    mean_codes = mean_scale = None
+    if version == 2:
+        mean_scale = np.frombuffer(
+            data[off:off + 4 * b], dtype="<f4").reshape(b, 1, 1)
+        off += 4 * b
+        mean_codes = np.frombuffer(
+            data[off:off + b * d], dtype=np.int8).reshape(b, 1, d)
+        off += b * d
     scale = np.frombuffer(data[off:off + 4 * b * nf],
-                          dtype="<f4").reshape(int(b), int(nf), 1)
+                          dtype="<f4").reshape(b, nf, 1)
     off += 4 * b * nf
     (payload_len,) = np.frombuffer(data[off:off + 8], dtype="<u8")
     off += 8
     payload = data[off:off + int(payload_len)]
-    n = int(b) * int(nf) * int(d)
+    n = b * nf * d
     if flags & _FLAG_ENTROPY:
         from meanflow_audio_codec_tpu.ops import entropy as coder
         codes = coder.entropy_decode(payload, n)
     else:
         codes = np.frombuffer(payload, dtype=_np_dtype(bits), count=n)
-    codes = codes.reshape(int(b), int(nf), int(d))
-    return LatentBitstream(jnp.asarray(codes), jnp.asarray(scale),
-                           qbits=bits if bits == 4 else 0)
+    codes = codes.reshape(b, nf, d)
+    return LatentBitstream(
+        jnp.asarray(codes), jnp.asarray(scale),
+        qbits=bits if bits == 4 else 0,
+        mean_codes=None if mean_codes is None else jnp.asarray(mean_codes),
+        mean_scale=None if mean_scale is None else jnp.asarray(mean_scale))
 
 
 def _np_dtype(bits: int):
@@ -189,5 +281,6 @@ def describe_bitstream(data: bytes) -> dict:
     b, nf, d = (int(x) for x in np.frombuffer(data[8:20], dtype="<u4"))
     return {"version": version, "bits": bits,
             "coding": "rANS" if flags & _FLAG_ENTROPY else "raw",
+            "quantizer": "ecsq+mean" if version == 2 else "symmetric",
             "batch": b, "n_frames": nf, "latent_dim": d,
             "total_bytes": len(data)}

@@ -41,7 +41,8 @@ def _read_audio(path: Path) -> np.ndarray:
 def cmd_encode(args) -> int:
     codec = _load_codec(args.workdir)
     audio = _read_audio(Path(args.input))
-    data = codec.encode_bytes(audio, bits=args.bits)
+    data = codec.encode_bytes(audio, bits=args.bits,
+                              step_frac=args.latent_step)
     out = Path(args.output or Path(args.input).with_suffix(".macb"))
     out.write_bytes(data)
     seconds = audio.shape[1] / 44100.0
@@ -72,8 +73,9 @@ def cmd_info(args) -> int:
     except ValueError as exc:
         raise SystemExit(f"{args.input}: {exc}")
     print(f"{args.input}: MACB v{h['version']}, {h['bits']}-bit "
-          f"{h['coding']} codes, batch={h['batch']} frames={h['n_frames']} "
-          f"latent_dim={h['latent_dim']}, {h['total_bytes']} bytes")
+          f"{h['coding']} codes ({h['quantizer']}), batch={h['batch']} "
+          f"frames={h['n_frames']} latent_dim={h['latent_dim']}, "
+          f"{h['total_bytes']} bytes")
     return 0
 
 
@@ -87,6 +89,12 @@ def main(argv: list[str] | None = None) -> int:
     enc.add_argument("--workdir", required=True,
                      help="trained run directory (config + checkpoints)")
     enc.add_argument("--bits", type=int, default=8, choices=(4, 8, 16))
+    enc.add_argument("--latent-step", type=float, default=None,
+                     help="rate-aware ECSQ mode (MACB v2): quantization "
+                          "step as a fraction of the per-frame residual "
+                          "std — the continuous rate/quality knob "
+                          "(e.g. 1.0 ~ 98 kbps, 0.5 ~ 140 kbps, 0.15 ~ "
+                          "215 kbps on the v2 codec); overrides --bits")
     enc.set_defaults(fn=cmd_encode)
 
     dec = sub.add_parser("decode", help=".macb bitstream -> WAV")

@@ -63,7 +63,8 @@ def evaluate_config(config_path: Path, nfe_list: list[int],
                     synthetic_family: str | None = None,
                     results_name: str = "evaluation_results.json",
                     quantized: bool = False,
-                    latent_bits: int | None = None) -> dict | None:
+                    latent_bits: int | None = None,
+                    latent_step: float | None = None) -> dict | None:
     config = load_config_from_json(config_path)
     if quantized:
         # serve the bf16 checkpoint through the dynamic-int8 decode path
@@ -80,7 +81,8 @@ def evaluate_config(config_path: Path, nfe_list: list[int],
                           synthetic_family=synthetic_family)
     evaluator = ComprehensiveEvaluator(checkpoint, config, nfe_list=nfe_list,
                                        num_samples=num_samples,
-                                       latent_bits=latent_bits)
+                                       latent_bits=latent_bits,
+                                       latent_step=latent_step)
     results = evaluator.evaluate(data)
     results_path = Path(config.workdir) / results_name
     evaluator.save_results(results, results_path)
@@ -131,6 +133,12 @@ def main(argv: list[str] | None = None) -> int:
                         help="decode from the scalar-quantized latent "
                              "bitstream (ops/latent_quant.py) instead of "
                              "float latents — the stored-format quality")
+    parser.add_argument("--latent-step", type=float, default=None,
+                        help="decode from the rate-aware ECSQ bitstream "
+                             "(MACB v2) at this step fraction of the "
+                             "per-frame residual std — the continuous "
+                             "rate knob (takes precedence over "
+                             "--latent-bits)")
     args = parser.parse_args(argv)
 
     config_paths = sorted(args.configs.glob("*.json"))
@@ -144,7 +152,8 @@ def main(argv: list[str] | None = None) -> int:
                                synthetic_family=args.synthetic_family,
                                results_name=args.results_name,
                                quantized=args.quantized,
-                               latent_bits=args.latent_bits) is not None:
+                               latent_bits=args.latent_bits,
+                               latent_step=args.latent_step) is not None:
                 evaluated += 1
         except Exception as exc:
             print(f"FAILED {path.name}: {exc}")

@@ -99,3 +99,117 @@ def test_bitrate_formula():
     raw_16bit_stereo = 44100 * 2 * 16 / 1000.0
     # ~3.9x nominal reduction vs PCM (the rANS container measures ~5x)
     assert raw_16bit_stereo / kbps > 3.5
+
+
+# ---- ECSQ (MACB v2) ---------------------------------------------------------
+
+def _offset_latents(seed=0, b=2, nf=7, d=32):
+    """Latents with large static per-dim means + small residual — the
+    measured shape of the v2 codec's latent space (means carry ~94% of
+    the energy)."""
+    rng = np.random.default_rng(seed)
+    mu = rng.standard_normal((d,)).astype(np.float32)
+    resid = 0.12 * rng.standard_normal((b, nf, d)).astype(np.float32)
+    return mu + resid
+
+
+def test_ecsq_roundtrip_error_bounded_by_step():
+    from meanflow_audio_codec_tpu.ops.latent_quant import (
+        quantize_latents_ecsq)
+    latents = _offset_latents()
+    bs = quantize_latents_ecsq(jnp.asarray(latents), step_frac=0.5)
+    assert bs.codes.dtype == jnp.int8
+    assert bs.mean_codes is not None and bs.mean_codes.dtype == jnp.int8
+    recon = np.asarray(dequantize_latents(bs))
+    step = np.asarray(bs.scale)
+    # mean quantization error folds into the residual before the grid, so
+    # the uniform-quantizer bound holds end to end
+    assert np.all(np.abs(recon - latents) <= step * 0.5 + 1e-6)
+
+
+def test_ecsq_dominates_peak_quant_on_offset_latents():
+    """Same storage dtype, lower MSE AND lower entropy than peak-4-bit —
+    the measurement that motivated MACB v2."""
+    from meanflow_audio_codec_tpu.ops.latent_quant import (
+        pack_bitstream, quantize_latents_ecsq)
+    latents = _offset_latents(seed=3, b=4, nf=64, d=64)
+    ecsq = quantize_latents_ecsq(jnp.asarray(latents), step_frac=0.9)
+    peak4 = quantize_latents(jnp.asarray(latents), bits=4)
+    mse_e = float(np.mean((np.asarray(dequantize_latents(ecsq)) - latents) ** 2))
+    mse_4 = float(np.mean((np.asarray(dequantize_latents(peak4)) - latents) ** 2))
+    assert mse_e < mse_4
+    assert len(pack_bitstream(ecsq)) <= len(pack_bitstream(peak4)) * 1.1
+
+
+def test_ecsq_step_frac_is_a_rate_knob():
+    from meanflow_audio_codec_tpu.ops.latent_quant import (
+        pack_bitstream, quantize_latents_ecsq)
+    latents = _offset_latents(seed=4, b=2, nf=64, d=64)
+    sizes, mses = [], []
+    for frac in (1.0, 0.5, 0.25):
+        bs = quantize_latents_ecsq(jnp.asarray(latents), step_frac=frac)
+        sizes.append(len(pack_bitstream(bs)))
+        mses.append(float(np.mean(
+            (np.asarray(dequantize_latents(bs)) - latents) ** 2)))
+    assert sizes[0] < sizes[1] < sizes[2]   # smaller step -> more bytes
+    assert mses[0] > mses[1] > mses[2]      # ... and less distortion
+
+
+def test_ecsq_container_roundtrip_exact_v2():
+    from meanflow_audio_codec_tpu.ops.latent_quant import (
+        describe_bitstream, pack_bitstream, quantize_latents_ecsq,
+        unpack_bitstream)
+    latents = _offset_latents(seed=5)
+    bs = quantize_latents_ecsq(jnp.asarray(latents), step_frac=0.4)
+    data = pack_bitstream(bs)
+    h = describe_bitstream(data)
+    assert h["version"] == 2 and h["quantizer"] == "ecsq+mean"
+    back = unpack_bitstream(data)
+    np.testing.assert_array_equal(np.asarray(back.codes),
+                                  np.asarray(bs.codes))
+    np.testing.assert_array_equal(np.asarray(back.mean_codes),
+                                  np.asarray(bs.mean_codes))
+    np.testing.assert_allclose(np.asarray(back.scale),
+                               np.asarray(bs.scale), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(back.mean_scale),
+                               np.asarray(bs.mean_scale), rtol=1e-6)
+    # decode equivalence through the container
+    np.testing.assert_allclose(np.asarray(dequantize_latents(back)),
+                               np.asarray(dequantize_latents(bs)),
+                               rtol=1e-6)
+
+
+def test_v1_container_still_reads_after_v2():
+    """Version-1 streams (no mean section) stay decodable — backward
+    compatibility of the on-disk format."""
+    from meanflow_audio_codec_tpu.ops.latent_quant import (
+        describe_bitstream, pack_bitstream, unpack_bitstream)
+    latents = _latents(seed=6)
+    bs = quantize_latents(jnp.asarray(latents), bits=8)
+    data = pack_bitstream(bs)
+    assert describe_bitstream(data)["version"] == 1
+    back = unpack_bitstream(data)
+    assert back.mean_codes is None
+    np.testing.assert_array_equal(np.asarray(back.codes),
+                                  np.asarray(bs.codes))
+
+
+def test_ecsq_2d_single_stream():
+    from meanflow_audio_codec_tpu.ops.latent_quant import (
+        pack_bitstream, quantize_latents_ecsq, unpack_bitstream)
+    latents = _offset_latents(seed=8)[0]  # [nf, d]
+    bs = quantize_latents_ecsq(jnp.asarray(latents), step_frac=0.5)
+    recon = np.asarray(dequantize_latents(bs))
+    assert recon.shape == latents.shape
+    back = unpack_bitstream(pack_bitstream(bs))
+    assert np.asarray(back.codes).shape == (1,) + latents.shape
+
+
+def test_ecsq_is_jittable():
+    from meanflow_audio_codec_tpu.ops.latent_quant import (
+        quantize_latents_ecsq)
+    latents = jnp.asarray(_offset_latents(seed=9))
+    fn = jax.jit(lambda z: dequantize_latents(
+        quantize_latents_ecsq(z, step_frac=0.5)))
+    out = np.asarray(fn(latents))
+    assert out.shape == latents.shape and np.isfinite(out).all()
