@@ -148,13 +148,19 @@ def _third_octave_bank(fft_size: int, rate: int) -> np.ndarray:
     return bank
 
 
-def _stft_frames(audio: np.ndarray) -> np.ndarray:
+def _stoi_window() -> np.ndarray:
+    # MATLAB hanning(N) convention (no zero endpoints) — the published
+    # STOI code's window, kept so absolute values stay on its scale
+    return np.hanning(_STOI_FRAME + 2)[1:-1]
+
+
+def _windowed_frames(audio: np.ndarray) -> np.ndarray:
     hop = _STOI_FRAME // 2
-    window = np.hanning(_STOI_FRAME)
+    window = _stoi_window()
     n = max(0, 1 + (len(audio) - _STOI_FRAME) // hop)
     frames = np.stack([audio[i * hop:i * hop + _STOI_FRAME] * window
                        for i in range(n)]) if n else np.zeros((0, _STOI_FRAME))
-    return np.abs(np.fft.rfft(frames, n=_STOI_FFT, axis=-1))
+    return frames
 
 
 def stoi(reference: np.ndarray, test: np.ndarray,
@@ -166,28 +172,26 @@ def stoi(reference: np.ndarray, test: np.ndarray,
     reference = _resample(reference[:n], sample_rate, _STOI_RATE)
     test = _resample(test[:n], sample_rate, _STOI_RATE)
 
-    # remove silent frames (energy > max - 40 dB in the reference signal)
-    hop = _STOI_FRAME // 2
-    n_frames = max(0, 1 + (len(reference) - _STOI_FRAME) // hop)
+    # remove silent frames (energy > max - 40 dB in the reference signal),
+    # operating on the framed decomposition directly — frames are selected,
+    # never re-concatenated (concatenating 50%-overlapped frames duplicates
+    # samples and manufactures chimeric frames whose spectral spreading
+    # inflates band correlations; caught by tests/stoi_oracle.py)
+    ref_frames = _windowed_frames(reference)
+    test_frames = _windowed_frames(test)
+    n_frames = ref_frames.shape[0]
     if n_frames < _STOI_SEG:
         raise ValueError(
             f"signal too short for STOI ({n_frames} frames < {_STOI_SEG})")
-    window = np.hanning(_STOI_FRAME)
-    energies = np.asarray([
-        20 * np.log10(np.linalg.norm(
-            reference[i * hop:i * hop + _STOI_FRAME] * window) + 1e-12)
-        for i in range(n_frames)])
+    energies = 20 * np.log10(
+        np.linalg.norm(ref_frames, axis=1) + 1e-12)
     keep = energies > energies.max() - _STOI_DYN_RANGE
     kept = np.flatnonzero(keep)
     if len(kept) < _STOI_SEG:
         kept = np.arange(n_frames)
 
-    def rebuild(audio):
-        segments = [audio[i * hop:i * hop + _STOI_FRAME] for i in kept]
-        return np.concatenate(segments)
-
-    ref_spec = _stft_frames(rebuild(reference))
-    test_spec = _stft_frames(rebuild(test))
+    ref_spec = np.abs(np.fft.rfft(ref_frames[kept], n=_STOI_FFT, axis=-1))
+    test_spec = np.abs(np.fft.rfft(test_frames[kept], n=_STOI_FFT, axis=-1))
     bank = _third_octave_bank(_STOI_FFT, _STOI_RATE)
     # banded energies [frames, bands]
     ref_bands = np.sqrt((ref_spec ** 2) @ bank.T + 1e-12)

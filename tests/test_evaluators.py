@@ -124,6 +124,50 @@ def test_stoi_orders_quality():
         stoi(clean[:1000], clean[:1000])  # too short
 
 
+def test_stoi_matches_independent_oracle():
+    """Absolute-scale cross-validation: the package STOI and an
+    independently written implementation of Taal 2011 (tests/stoi_oracle,
+    MATLAB-window + vectorized segments) must agree across the quality
+    range — the strongest published-scale evidence available without the
+    egress-blocked pystoi package."""
+    from stoi_oracle import stoi_oracle
+
+    rng = np.random.default_rng(7)
+    t = np.arange(2 * 44100) / 44100
+    # Broadband speech proxy: 1/f-shaped noise under a syllabic 4 Hz
+    # envelope. STOI needs energy in all 15 one-third-octave bands —
+    # sparse tonal signals leave noise-only bands whose zero correlation
+    # pins the score low regardless of fidelity (a property of the
+    # published metric, not a bug; documented in results.md).
+    spectrum = np.fft.rfft(rng.standard_normal(len(t)))
+    freqs = np.fft.rfftfreq(len(t), 1 / 44100)
+    spectrum *= 1.0 / np.sqrt(np.maximum(freqs, 50.0))
+    clean = np.fft.irfft(spectrum, len(t))
+    clean = (clean / clean.std()
+             * (0.55 + 0.45 * np.sin(2 * np.pi * 4 * t))).astype(np.float64)
+    conditions = {
+        "clean": clean,
+        "snr20": clean + 10 ** (-20 / 20) * clean.std()
+        * rng.standard_normal(clean.shape),
+        "snr10": clean + 10 ** (-10 / 20) * clean.std()
+        * rng.standard_normal(clean.shape),
+        "snr0": clean + clean.std() * rng.standard_normal(clean.shape),
+        "snr-5": clean + 10 ** (5 / 20) * clean.std()
+        * rng.standard_normal(clean.shape),
+        "lowpassed": np.convolve(clean, np.ones(32) / 32, mode="same"),
+    }
+    ours, oracle = {}, {}
+    for name, deg in conditions.items():
+        ours[name] = stoi(clean, deg)
+        oracle[name] = stoi_oracle(clean, deg, 44100)
+        assert ours[name] == pytest.approx(oracle[name], abs=0.02), name
+    # same quality ordering end to end
+    order = sorted(ours, key=ours.get)
+    assert order == sorted(oracle, key=oracle.get)
+    # the degraded range actually spans the scale (not all ~1.0)
+    assert ours["snr-5"] < 0.85 < ours["snr20"]
+
+
 # ---- performance + analysis ---------------------------------------------------
 
 def test_inference_time_stats():
