@@ -164,8 +164,17 @@ def _windowed_frames(audio: np.ndarray) -> np.ndarray:
 
 
 def stoi(reference: np.ndarray, test: np.ndarray,
-         sample_rate: int = 44100) -> float:
-    """Short-time objective intelligibility in [0, 1] (higher is better)."""
+         sample_rate: int = 44100, extended: bool = False) -> float:
+    """Short-time objective intelligibility (higher is better).
+
+    ``extended=True`` computes eSTOI (Jensen & Taal 2016): instead of
+    per-band envelope correlations with normalisation + clipping, each
+    384 ms segment's band x time block is row- then column-normalised
+    and correlated whole — no clipping. The reference exposed both via
+    pystoi (reference evaluators/audio_metrics.py:68-109); eSTOI also
+    degrades more gracefully on non-speech material, where sparse-band
+    signals pin classic STOI low.
+    """
     reference = np.asarray(reference, dtype=np.float64).reshape(-1)
     test = np.asarray(test, dtype=np.float64).reshape(-1)
     n = min(len(reference), len(test))
@@ -196,6 +205,24 @@ def stoi(reference: np.ndarray, test: np.ndarray,
     # banded energies [frames, bands]
     ref_bands = np.sqrt((ref_spec ** 2) @ bank.T + 1e-12)
     test_bands = np.sqrt((test_spec ** 2) @ bank.T + 1e-12)
+
+    if extended:
+        # eSTOI: per-segment [bands, SEG] blocks, row- (per-band over
+        # time) then column- (per-frame over bands) mean/norm
+        # normalisation, then a single correlation averaged over frames
+        correlations = []
+        for m in range(_STOI_SEG, ref_bands.shape[0] + 1):
+            blocks = []
+            for bands in (ref_bands, test_bands):
+                b = bands[m - _STOI_SEG:m].T        # [bands, SEG]
+                b = b - b.mean(axis=1, keepdims=True)
+                b = b / (np.linalg.norm(b, axis=1, keepdims=True) + 1e-12)
+                b = b - b.mean(axis=0, keepdims=True)
+                b = b / (np.linalg.norm(b, axis=0, keepdims=True) + 1e-12)
+                blocks.append(b)
+            correlations.append(
+                float((blocks[0] * blocks[1]).sum() / _STOI_SEG))
+        return float(np.mean(correlations))
 
     clip_factor = 10.0 ** (-_STOI_BETA / 20.0)
     correlations = []

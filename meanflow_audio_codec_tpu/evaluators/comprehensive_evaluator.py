@@ -173,6 +173,9 @@ class ComprehensiveEvaluator:
             try:
                 out["stoi"] = float(np.mean([
                     am.stoi(r[:m], g[:m]) for r, g in zip(ref, gen)]))
+                out["estoi"] = float(np.mean([
+                    am.stoi(r[:m], g[:m], extended=True)
+                    for r, g in zip(ref, gen)]))
             except (ValueError, ImportError):
                 pass
             try:

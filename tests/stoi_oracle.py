@@ -48,7 +48,7 @@ def _octave_band_matrix() -> np.ndarray:
 
 
 def stoi_oracle(clean: np.ndarray, degraded: np.ndarray,
-                sample_rate: int) -> float:
+                sample_rate: int, extended: bool = False) -> float:
     from scipy.signal import resample_poly
     from math import gcd
 
@@ -82,6 +82,19 @@ def stoi_oracle(clean: np.ndarray, degraded: np.ndarray,
     sidx = np.arange(SEG)[None, :, None] + np.arange(m)[:, None, None]
     Xs = X[sidx[..., 0]]                   # [m, SEG, bands]
     Ys = Y[sidx[..., 0]]
+
+    if extended:
+        # eSTOI (Jensen & Taal 2016), fully batched over segments:
+        # normalise over time (axis=1: each band row), then over bands
+        # (axis=2: each frame column), correlate, average over frames
+        def _rc(Z):
+            Z = Z - Z.mean(axis=1, keepdims=True)
+            Z = Z / (np.linalg.norm(Z, axis=1, keepdims=True) + 1e-12)
+            Z = Z - Z.mean(axis=2, keepdims=True)
+            Z = Z / (np.linalg.norm(Z, axis=2, keepdims=True) + 1e-12)
+            return Z
+        Xn, Yn = _rc(Xs), _rc(Ys)
+        return float(((Xn * Yn).sum(axis=(1, 2)) / SEG).mean())
     alpha = (np.linalg.norm(Xs, axis=1, keepdims=True)
              / (np.linalg.norm(Ys, axis=1, keepdims=True) + 1e-12))
     clip = 10.0 ** (-BETA / 20.0)

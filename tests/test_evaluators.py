@@ -156,16 +156,23 @@ def test_stoi_matches_independent_oracle():
         * rng.standard_normal(clean.shape),
         "lowpassed": np.convolve(clean, np.ones(32) / 32, mode="same"),
     }
-    ours, oracle = {}, {}
+    ours, oracle, ours_e = {}, {}, {}
     for name, deg in conditions.items():
         ours[name] = stoi(clean, deg)
         oracle[name] = stoi_oracle(clean, deg, 44100)
         assert ours[name] == pytest.approx(oracle[name], abs=0.02), name
-    # same quality ordering end to end
+        ours_e[name] = stoi(clean, deg, extended=True)
+        oracle_e = stoi_oracle(clean, deg, 44100, extended=True)
+        assert ours_e[name] == pytest.approx(oracle_e, abs=0.02), name
+    # same quality ordering end to end; eSTOI must order the SNR ladder
+    # monotonically (its lowpass ranking may differ from classic STOI's)
     order = sorted(ours, key=ours.get)
     assert order == sorted(oracle, key=oracle.get)
+    assert (ours_e["snr-5"] < ours_e["snr0"] < ours_e["snr10"]
+            < ours_e["snr20"] < ours_e["clean"])
     # the degraded range actually spans the scale (not all ~1.0)
     assert ours["snr-5"] < 0.85 < ours["snr20"]
+    assert ours_e["snr-5"] < 0.85 < ours_e["snr20"]
 
 
 # ---- performance + analysis ---------------------------------------------------
