@@ -50,12 +50,20 @@ class ComprehensiveEvaluator:
                  nfe_list: list[int] | None = None, num_samples: int = 64,
                  batch_size: int = 32, seed: int = 0,
                  latent_bits: int | None = None,
-                 latent_step: float | None = None):
+                 latent_step: float | None = None,
+                 timing_runs: int = 5):
         self.config = config
         self.nfe_list = nfe_list or list(DEFAULT_NFE_SWEEP)
         self.num_samples = num_samples
         self.batch_size = batch_size
         self.seed = seed
+        #: Repetitions for the inference-latency benchmark. 0 skips the
+        #: timing loop entirely (metrics still come from the one decode) —
+        #: the mode for metric recomputes on slow backends, where 5 timed
+        #: decodes per NFE would dominate wall-clock for numbers nobody
+        #: cites (quality tables cite metrics; RTF comes from
+        #: tools/benchmarks/benchmark_codec_geometry on the TPU).
+        self.timing_runs = timing_runs
         #: When set, decode from the quantized stored format
         #: (ops/latent_quant.py) instead of float latents — measures the
         #: bitstream's quality cost at a real kbps. ``latent_step`` selects
@@ -139,8 +147,16 @@ class ComprehensiveEvaluator:
             # host read (profiling.force_completion doctrine).
             force_completion(flat)
             first_latency = time.perf_counter() - t0
-            timing = inference_time(self._sample_flat, latents, nfe, sub,
-                                    warmup=1, runs=5)
+            if self.timing_runs > 0:
+                timing = inference_time(self._sample_flat, latents, nfe, sub,
+                                        warmup=1, runs=self.timing_runs)
+            else:
+                # metrics-only mode: the warm latency is unknown; report
+                # the (compile-inclusive) first call so the field is honest
+                timing = {"mean_sec": first_latency, "runs": 0,
+                          "note": "timing skipped (timing_runs=0); "
+                                  "mean_sec is the first, compile-"
+                                  "inclusive call"}
             decoded = self.adapter.detokenize_flat(flat, self.token_shape)
             decoded_np = np.asarray(jax.device_get(decoded), dtype=np.float32)
             entry = {

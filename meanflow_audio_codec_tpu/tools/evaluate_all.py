@@ -64,7 +64,8 @@ def evaluate_config(config_path: Path, nfe_list: list[int],
                     results_name: str = "evaluation_results.json",
                     quantized: bool = False,
                     latent_bits: int | None = None,
-                    latent_step: float | None = None) -> dict | None:
+                    latent_step: float | None = None,
+                    timing_runs: int = 5) -> dict | None:
     config = load_config_from_json(config_path)
     if quantized:
         # serve the bf16 checkpoint through the dynamic-int8 decode path
@@ -82,7 +83,8 @@ def evaluate_config(config_path: Path, nfe_list: list[int],
     evaluator = ComprehensiveEvaluator(checkpoint, config, nfe_list=nfe_list,
                                        num_samples=num_samples,
                                        latent_bits=latent_bits,
-                                       latent_step=latent_step)
+                                       latent_step=latent_step,
+                                       timing_runs=timing_runs)
     results = evaluator.evaluate(data)
     results_path = Path(config.workdir) / results_name
     evaluator.save_results(results, results_path)
@@ -139,6 +141,10 @@ def main(argv: list[str] | None = None) -> int:
                              "per-frame residual std — the continuous "
                              "rate knob (takes precedence over "
                              "--latent-bits)")
+    parser.add_argument("--timing-runs", type=int, default=5,
+                        help="repetitions for the inference-latency "
+                             "benchmark; 0 skips timing entirely "
+                             "(metrics-only mode for slow backends)")
     args = parser.parse_args(argv)
 
     config_paths = sorted(args.configs.glob("*.json"))
@@ -153,7 +159,8 @@ def main(argv: list[str] | None = None) -> int:
                                results_name=args.results_name,
                                quantized=args.quantized,
                                latent_bits=args.latent_bits,
-                               latent_step=args.latent_step) is not None:
+                               latent_step=args.latent_step,
+                               timing_runs=args.timing_runs) is not None:
                 evaluated += 1
         except Exception as exc:
             print(f"FAILED {path.name}: {exc}")
