@@ -91,6 +91,46 @@ def test_aggregate_and_tables(tmp_path):
     assert "|" in markdown.read_text()
 
 
+def test_curated_tables(tmp_path):
+    """One call renders the reference's 8 named tables (Tables 1-8,
+    reference tools/generate_tables.py:43-421) from the run CSVs."""
+    from meanflow_audio_codec_tpu.tools.generate_tables import (
+        generate_curated_tables,
+    )
+    root = tmp_path
+    (root / "outputs/matrix_mnist").mkdir(parents=True)
+    (root / "outputs/ablations").mkdir(parents=True)
+    (root / "outputs/imf_audio_quality_v2").mkdir(parents=True)
+    header = ("config,method,architecture,dataset,tokenization,nfe,"
+              "param_count,inference_mean_sec,mse,psnr_db,ssim,fid_pixel\n")
+    (root / "outputs/matrix_mnist/metrics.csv").write_text(
+        header
+        + "c,mean_flow,mlp,mnist,reshape,1,1e6,0.1,0.1,20.0,0.8,10.0\n"
+        + "c,mean_flow,mlp,mnist,reshape,10,1e6,0.3,0.05,23.0,0.9,5.0\n"
+        + "c,flow_matching,convnet,mnist,mdct,1,2e6,0.2,0.4,12.0,0.5,90.0\n")
+    (root / "outputs/ablations/metrics.csv").write_text(
+        header
+        + "ablation--lr=0.001,mean_flow,mlp,mnist,reshape,1,1e6,"
+          "0.1,0.2,18.0,0.7,20.0\n")
+    (root / "outputs/imf_audio_quality_v2/metrics.csv").write_text(
+        "config,method,architecture,dataset,tokenization,nfe,param_count,"
+        "inference_mean_sec,mse,si_snr_db,stoi\n"
+        "c,improved_mean_flow,convnet,audio,mdct,1,1e8,9.0,0.06,17.9,0.91\n")
+    written = generate_curated_tables(root, root / "outputs/tables")
+    names = {p.stem for p in written}
+    assert names == {"main_results", "method_ablation",
+                     "architecture_ablation", "tokenization",
+                     "hyperparameter_sensitivity", "efficiency",
+                     "dataset_transfer", "baseline_comparison"}
+    assert {p.suffix for p in written} == {".tex", ".md", ".csv", ".html"}
+    hyper = (root / "outputs/tables/hyperparameter_sensitivity.md").read_text()
+    assert "| lr | 0.001 |" in hyper
+    transfer = (root / "outputs/tables/dataset_transfer.md").read_text()
+    assert "audio" in transfer and "mnist" in transfer
+    main = (root / "outputs/tables/main_results.md").read_text()
+    assert "17.9" in main  # the audio codec row carries SI-SNR
+
+
 def test_render_table_formats():
     rows = [{"a": 1.23456, "b": "x"}]
     assert "1.235" in render_table(rows, "csv")
