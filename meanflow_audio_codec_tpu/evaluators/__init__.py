@@ -9,10 +9,12 @@ from meanflow_audio_codec_tpu.evaluators.analysis import (
 from meanflow_audio_codec_tpu.evaluators.audio_metrics import (
     log_mel_spectrogram,
     mel_filterbank,
+    nsim,
     pesq_score,
     si_snr,
     spectral_distance,
     stoi,
+    stoi_to_intelligibility,
 )
 from meanflow_audio_codec_tpu.evaluators.comprehensive_evaluator import (
     DEFAULT_NFE_SWEEP,

@@ -260,3 +260,127 @@ def pesq_score(reference: np.ndarray, test: np.ndarray,
         ) from exc
     return float(_pesq(sample_rate, np.asarray(reference, dtype=np.float32),
                        np.asarray(test, dtype=np.float32), mode))
+
+
+# ============================================================================
+# Published-scale anchoring
+# ============================================================================
+
+#: Logistic mapping d -> intelligibility % fitted in Taal et al. (2011),
+#: "An Algorithm for Intelligibility Prediction of Time-Frequency Weighted
+#: Noisy Speech", IEEE TASLP 19(7), eq. (7): f(d) = 100 / (1 + exp(a*d + b))
+#: with the IEEE-sentence dataset fit. These published constants tie the
+#: native STOI d-scale to the paper's intelligibility axis.
+_STOI_LOGISTIC_A = -17.4906
+_STOI_LOGISTIC_B = 9.6921
+
+
+def stoi_to_intelligibility(d: float) -> float:
+    """Map a STOI score to predicted intelligibility % via the published
+    Taal-2011 logistic fit (IEEE sentences in speech-shaped noise)."""
+    return float(100.0 / (1.0 + np.exp(_STOI_LOGISTIC_A * d
+                                       + _STOI_LOGISTIC_B)))
+
+
+# ============================================================================
+# NSIM (ViSQOL-style neurogram similarity)
+# ============================================================================
+
+#: NSIM spectrogram layout, following ViSQOL v3's audio mode (Hines et al.,
+#: "ViSQOL: an objective speech quality model", 2015; Chinen et al. 2020):
+#: ERB/gammatone-spaced bands from 50 Hz, ~80 ms windows, 20 ms hop.
+_NSIM_BANDS = 32
+_NSIM_MIN_FREQ = 50.0
+_NSIM_WINDOW_SEC = 0.08
+_NSIM_HOP_SEC = 0.02
+
+
+def _erb_space(low: float, high: float, n: int) -> np.ndarray:
+    """n centre frequencies equally spaced on the ERB-rate scale
+    (Glasberg & Moore 1990: ERBrate(f) = 21.4 log10(1 + 0.00437 f))."""
+    lo = 21.4 * np.log10(1.0 + 0.00437 * low)
+    hi = 21.4 * np.log10(1.0 + 0.00437 * high)
+    rates = np.linspace(lo, hi, n)
+    return (10.0 ** (rates / 21.4) - 1.0) / 0.00437
+
+
+def _erb_filterbank(fft_size: int, rate: int, n_bands: int) -> np.ndarray:
+    """[bands, bins] triangular filters on ERB-spaced centres — a real
+    gammatone bank's magnitude response collapsed to its main lobe; the
+    NSIM literature's neurogram front-end approximated with the same
+    band centres and bandwidth scale."""
+    freqs = np.fft.rfftfreq(fft_size, 1.0 / rate)
+    centers = _erb_space(_NSIM_MIN_FREQ, rate / 2.0 * 0.95, n_bands)
+    erb = 24.7 * (0.00437 * centers + 1.0)  # equivalent rectangular bw
+    bank = np.maximum(0.0, 1.0 - np.abs(freqs[None, :] - centers[:, None])
+                      / (erb[:, None] * 1.5))
+    norm = bank.sum(axis=1, keepdims=True)
+    return bank / np.maximum(norm, 1e-12)
+
+
+def _neurogram(audio: np.ndarray, rate: int) -> np.ndarray:
+    """[bands, frames] log-compressed ERB-band energy spectrogram."""
+    win = int(round(_NSIM_WINDOW_SEC * rate))
+    hop = int(round(_NSIM_HOP_SEC * rate))
+    fft_size = int(2 ** np.ceil(np.log2(win)))
+    window = np.hanning(win)
+    n = max(0, 1 + (len(audio) - win) // hop)
+    if n < 3:
+        raise ValueError(f"signal too short for NSIM ({n} frames < 3)")
+    frames = np.stack([audio[i * hop:i * hop + win] * window
+                       for i in range(n)])
+    power = np.abs(np.fft.rfft(frames, n=fft_size, axis=-1)) ** 2
+    bank = _erb_filterbank(fft_size, rate, _NSIM_BANDS)
+    banded = power @ bank.T  # [frames, bands]
+    return 10.0 * np.log10(banded.T + 1e-12)  # [bands, frames], dB
+
+
+def nsim(reference: np.ndarray, test: np.ndarray,
+         sample_rate: int = 44100) -> float:
+    """Neurogram similarity index (Hines & Harte 2012; the similarity
+    kernel inside ViSQOL). SSIM-like luminance * structure comparison of
+    ERB-band log spectrograms over a sliding 3x3 window:
+
+        NSIM = mean[ (2 mu_r mu_d + C1) / (mu_r^2 + mu_d^2 + C1)
+                     * (cov_rd + C2) / (sigma_r sigma_d + C2) ]
+
+    Anchors by construction: NSIM(x, x) = 1.0 exactly for any x;
+    uncorrelated signals score near 0. The ViSQOL MOS regression stage is
+    NOT reproduced (it needs its fitted SVR); this is the raw published
+    similarity index. (Reference parity: the reference had no perceptual
+    similarity metric at all — audio_metrics.py:20-109 delegates to
+    optional pesq/pystoi.)
+    """
+    reference = np.asarray(reference, dtype=np.float64).reshape(-1)
+    test = np.asarray(test, dtype=np.float64).reshape(-1)
+    n = min(len(reference), len(test))
+    ref_gram = _neurogram(reference[:n], sample_rate)
+    test_gram = _neurogram(test[:n], sample_rate)
+
+    # Clamp to a 60 dB dynamic range below the reference peak and shift
+    # nonnegative. Without the clamp, the log epsilon pins silent bands at
+    # -120 dB and any audible noise floor swings those cells by ~90 dB,
+    # which is far outside the neurogram front-end's physiological range;
+    # auditory-periphery models saturate/threshold at ~60 dB of range.
+    floor = ref_gram.max() - 60.0
+    ref_gram = np.maximum(ref_gram, floor) - floor
+    test_gram = np.maximum(test_gram, floor) - floor
+    span = 60.0
+    c1 = (0.01 * span) ** 2
+    c2 = (0.03 * span) ** 2
+
+    # 3x3 local moments via a separable box filter
+    def _box(x: np.ndarray) -> np.ndarray:
+        pad = np.pad(x, 1, mode="edge")
+        return sum(pad[i:i + x.shape[0], j:j + x.shape[1]]
+                   for i in range(3) for j in range(3)) / 9.0
+
+    mu_r, mu_d = _box(ref_gram), _box(test_gram)
+    var_r = _box(ref_gram ** 2) - mu_r ** 2
+    var_d = _box(test_gram ** 2) - mu_d ** 2
+    cov = _box(ref_gram * test_gram) - mu_r * mu_d
+    var_r = np.maximum(var_r, 0.0)
+    var_d = np.maximum(var_d, 0.0)
+    luminance = (2 * mu_r * mu_d + c1) / (mu_r ** 2 + mu_d ** 2 + c1)
+    structure = (cov + c2) / (np.sqrt(var_r * var_d) + c2)
+    return float(np.mean(luminance * structure))

@@ -192,7 +192,14 @@ class ComprehensiveEvaluator:
                 out["estoi"] = float(np.mean([
                     am.stoi(r[:m], g[:m], extended=True)
                     for r, g in zip(ref, gen)]))
+                out["intelligibility_pct"] = am.stoi_to_intelligibility(
+                    out["stoi"])
             except (ValueError, ImportError):
+                pass
+            try:
+                out["nsim"] = float(np.mean([
+                    am.nsim(r[:m], g[:m]) for r, g in zip(ref, gen)]))
+            except ValueError:
                 pass
             try:
                 out["pesq"] = float(np.mean([

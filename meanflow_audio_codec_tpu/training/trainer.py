@@ -26,6 +26,7 @@ Token layout ("flatten mode"):
 
 from __future__ import annotations
 
+import math
 from pathlib import Path
 from typing import Iterator
 
@@ -183,12 +184,10 @@ class TokenAdapter:
 # ============================================================================
 
 
-def make_optimizer(config: TrainFlowConfig):
-    """AdamW with optional global-norm clipping and linear warmup.
-
-    Checkpoint templates (load_flow_state) must build the identical chain —
-    the optax state tree structure is part of the on-disk format.
-    """
+def make_lr_schedule(config: TrainFlowConfig):
+    """The learning-rate schedule make_optimizer uses: a float (constant)
+    or an optax schedule callable. Exposed so logging can report the
+    *actual* per-step LR instead of the base value."""
     lr = config.base_lr
     warmup = getattr(config.base, "warmup_steps", 0) or 0
     if getattr(config.base, "lr_schedule", "constant") == "cosine":
@@ -201,7 +200,35 @@ def make_optimizer(config: TrainFlowConfig):
     elif warmup:
         lr = optax.linear_schedule(init_value=0.0, end_value=config.base_lr,
                                    transition_steps=warmup)
-    opt = optax.adamw(lr, weight_decay=config.weight_decay)
+    return lr
+
+
+def lr_at_step(config: TrainFlowConfig, step: int) -> float:
+    """Evaluate the schedule at a step for logging. Pure host math (no
+    jnp): evaluating an optax schedule eagerly would round-trip the axon
+    tunnel once per logged step. Mirrors make_lr_schedule exactly."""
+    base = float(config.base_lr)
+    warmup = getattr(config.base, "warmup_steps", 0) or 0
+    if getattr(config.base, "lr_schedule", "constant") == "cosine":
+        final = base * getattr(config.base, "lr_final_fraction", 0.0)
+        decay = max(config.n_steps - warmup, 1)
+        if warmup and step < warmup:
+            return base * step / warmup
+        frac = min(max((step - warmup) / decay, 0.0), 1.0)
+        return final + 0.5 * (base - final) * (1.0 + math.cos(math.pi * frac))
+    if warmup and step < warmup:
+        return base * step / warmup
+    return base
+
+
+def make_optimizer(config: TrainFlowConfig):
+    """AdamW with optional global-norm clipping and linear warmup.
+
+    Checkpoint templates (load_flow_state) must build the identical chain —
+    the optax state tree structure is part of the on-disk format.
+    """
+    opt = optax.adamw(make_lr_schedule(config),
+                      weight_decay=config.weight_decay)
     clip = getattr(config.base, "grad_clip_norm", None)
     if clip:
         return optax.chain(optax.clip_by_global_norm(clip), opt)
@@ -473,7 +500,8 @@ def train_flow(config: TrainFlowConfig, resume: bool = False) -> dict:
             if np.isfinite(loss):  # a skipped NaN step must not poison the EMA
                 loss_ema = ema(loss_ema, loss)
             log.write_step(step + i, loss=loss, loss_avg=loss_ema, mse=mse,
-                           lr=config.base_lr, step_time=per_step_time,
+                           lr=lr_at_step(config, step + i),
+                           step_time=per_step_time,
                            **{name: value for name, value in record.items()
                               if name not in ("step_time",)})
             if (step + i) % 50 == 0:
