@@ -44,6 +44,7 @@ _CHOICES: dict[str, list[str]] = {
     "noise_schedule": ["linear", "uniform"],
     "time_sampling": ["uniform", "logit_normal", "mean_flow"],
     "loss_weighting": ["uniform", "time_dependent", "learned"],
+    "qat_mode": ["ste", "noise"],
     "precision": ["float32", "bfloat16", "mixed"],
     "checkpoint_format": ["msgpack", "orbax"],
 }
@@ -214,12 +215,26 @@ class MethodConfig(Section):
     #: query a 1-NFE decode evaluates (ops/time_sampling.sample_tr)
     time_sampling_full_proportion: float | None = None
     use_weighted_loss: bool | None = None
+    #: quantization-aware training of the stored latent format
+    #: (ops/latent_quant.LatentQAT): ``qat_step_frac`` trains through the
+    #: rate-aware ECSQ grid (MACB v2), ``qat_bits`` through the fixed-width
+    #: grid (MACB v1); set at most one. ``qat_mode``: 'ste' (default,
+    #: exact eval grid, straight-through backward) | 'noise' (additive
+    #: uniform one-step noise).
+    qat_mode: str | None = None
+    qat_step_frac: float | None = None
+    qat_bits: int | None = None
 
     def validate(self) -> None:
         for name in ("method", "loss_strategy", "noise_schedule",
-                     "time_sampling", "loss_weighting"):
+                     "time_sampling", "loss_weighting", "qat_mode"):
             self._check_choice(name)
-        self._check_positive("gamma", "flow_ratio", "c", "time_sampling_std")
+        self._check_positive("gamma", "flow_ratio", "c", "time_sampling_std",
+                             "qat_step_frac")
+        if self.qat_step_frac is not None and self.qat_bits is not None:
+            raise ValueError("set at most one of qat_step_frac / qat_bits")
+        if self.qat_bits is not None and self.qat_bits not in (4, 8, 16):
+            raise ValueError(f"qat_bits must be 4, 8 or 16, got {self.qat_bits}")
         if self.noise_min is not None and not (0 <= self.noise_min < 1):
             raise ValueError(f"noise_min must be in [0, 1), got {self.noise_min}")
         if self.noise_max is not None and not (0 < self.noise_max <= 1):
@@ -518,12 +533,9 @@ _V1_SECTION_KEYS: dict[str, tuple[str, ...]] = {
               "num_blocks", "architecture"),
     "dataset": ("dataset", "data_dir", "tokenization_strategy",
                 "tokenization_config"),
-    "method": ("method", "use_improved_mean_flow", "gamma", "flow_ratio", "c",
-               "use_stop_gradient", "loss_weighting", "loss_strategy",
-               "noise_schedule", "noise_min", "noise_max", "time_sampling",
-               "time_sampling_mean", "time_sampling_std",
-               "time_sampling_data_proportion",
-               "time_sampling_full_proportion", "use_weighted_loss"),
+    # derived from the dataclass so new method knobs (e.g. the QAT set)
+    # survive v1 flat configs without a second hand-maintained list
+    "method": tuple(_f.name for _f in fields(MethodConfig)),
     "training": ("sample_every", "sample_seed", "sample_steps", "workdir",
                  "checkpoint_step", "max_checkpoints_to_keep",
                  "checkpoint_format", "ema_decay", "sample_guidance_scale"),
@@ -563,13 +575,25 @@ def _deep_merge(base: dict, override: dict) -> dict:
 
 
 def merge_configs(base: TrainFlowConfig, override: dict) -> TrainFlowConfig:
-    """Deep-merge an override dict (flat or hierarchical) into a config."""
-    if "base" not in override and any(
-            k in override for k in ("batch_size", "n_steps", "base_lr")):
-        override = migrate_config_v1_to_v2(override)
+    """Deep-merge an override dict (flat or hierarchical) into a config.
+
+    Flat keys are lifted into their owning section via ``_FLAT_LOOKUP``
+    (the same table that backs flat attribute access), so *every* section
+    field — not just the v1-era trio — works as a kwargs override.
+    """
+    if "base" not in override:
+        lifted: dict[str, Any] = {}
+        for key, value in override.items():
+            section = _FLAT_LOOKUP.get(key)
+            # 'dataset'/'method' double as section names: only a dict is
+            # the hierarchical section; a string is the flat field.
+            if section is not None and not (
+                    key in _SECTION_TYPES and isinstance(value, dict)):
+                lifted.setdefault(section, {})[key] = value
+            else:
+                lifted[key] = value
+        override = lifted
         override.pop("config_version", None)
-        # Drop empty sections so they don't clobber the base config.
-        override = {k: v for k, v in override.items() if v != {}}
     return TrainFlowConfig.from_dict(_deep_merge(base.to_dict(), override))
 
 

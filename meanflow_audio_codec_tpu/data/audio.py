@@ -627,9 +627,38 @@ def synthetic_audio_pipeline_rich(seed: int = 0,
         yield (out * target / (peak + 1e-6)).astype(np.float32)
 
 
+def synthetic_audio_pipeline_mixed(seed: int = 0,
+                                   frame_size: int = DEFAULT_FRAME_SIZE,
+                                   batch_size: int = 32,
+                                   sample_rate: int = TARGET_SAMPLE_RATE
+                                   ) -> Iterator[np.ndarray]:
+    """Per-clip 50/50 interleave of the tonal and rich families.
+
+    The training-distribution proxy for the reference's real-music corpus
+    (reference datasets/audio.py:93-132): models trained tonal-only drop
+    ~10 dB SI-SNR on the rich family (documentation/results.md
+    cross-family table), so the mixed stream trains both regimes in one
+    run. Clips are drawn independently per row (Bernoulli 0.5), so every
+    batch carries both families and the replay pool stays balanced in
+    expectation.
+    """
+    rng = np.random.default_rng(seed)
+    tonal = synthetic_audio_pipeline(seed=seed, frame_size=frame_size,
+                                     batch_size=batch_size,
+                                     sample_rate=sample_rate)
+    rich = synthetic_audio_pipeline_rich(seed=seed + 1,
+                                         frame_size=frame_size,
+                                         batch_size=batch_size,
+                                         sample_rate=sample_rate)
+    for a, b in zip(tonal, rich):
+        pick_rich = rng.random(batch_size) < 0.5
+        yield np.where(pick_rich[:, None, None], b, a)
+
+
 SYNTHETIC_FAMILIES = {
     "tonal": synthetic_audio_pipeline,
     "rich": synthetic_audio_pipeline_rich,
+    "mixed": synthetic_audio_pipeline_mixed,
 }
 
 

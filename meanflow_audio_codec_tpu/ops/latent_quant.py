@@ -143,6 +143,77 @@ def quantize_latents_ecsq(latents: jnp.ndarray,
                            mean_scale=mean_scale.astype(jnp.float32))
 
 
+@jax.tree_util.register_static
+@dataclass(frozen=True)
+class LatentQAT:
+    """Quantization-aware training transform for codec latents.
+
+    Applied to the encoder output *inside* the training objective so the
+    flow decoder is trained on the latents it will actually see at decode
+    time — the stored format stops being a bolted-on afterthought (the
+    naive post-hoc 4-bit path measured +8.8 dB SI-SNR vs +17.9 unquantized;
+    the rate-distortion knee this trains away). The reference has no stored
+    format at all (its latents stay float activations, README.md:3-7), so
+    there is no reference counterpart; the quantizer math is this module's
+    own eval-side pair.
+
+    Two modes (``mode``):
+
+    - ``"ste"``: straight-through estimator — the forward pass is *exactly*
+      the eval-time quantize→dequantize round-trip (`quantize_latents_ecsq`
+      / `quantize_latents`), the backward pass treats it as identity, so
+      encoder and decoder both train through the real grid.
+    - ``"noise"``: additive uniform noise of one quantizer step — the
+      classic soft relaxation (fully differentiable, no bias at the grid
+      edges); matches the quantizer's *error statistics* rather than its
+      exact grid.
+
+    ``step_frac`` selects the rate-aware ECSQ grid (MACB v2, the format the
+    trained checkpoint will serve); ``bits`` selects the fixed-width MACB
+    v1 grid. Exactly one must be set. A pytree *static* (hashable config),
+    so objectives carrying it stay jit-cache-friendly.
+    """
+
+    mode: str = "ste"
+    step_frac: float | None = None
+    bits: int | None = None
+
+    def __post_init__(self):
+        if (self.step_frac is None) == (self.bits is None):
+            raise ValueError("set exactly one of step_frac (ECSQ) or "
+                             "bits (fixed-width)")
+        if self.mode not in ("ste", "noise"):
+            raise ValueError(f"mode must be 'ste' or 'noise', got {self.mode!r}")
+
+    def _roundtrip(self, z: jnp.ndarray) -> jnp.ndarray:
+        if self.step_frac is not None:
+            return dequantize_latents(
+                quantize_latents_ecsq(z, step_frac=self.step_frac))
+        return dequantize_latents(quantize_latents(z, bits=self.bits))
+
+    def _step(self, z: jnp.ndarray) -> jnp.ndarray:
+        """One quantizer step per frame (the uniform-noise amplitude)."""
+        z = z.astype(jnp.float32)
+        if self.step_frac is not None:
+            mean = jnp.mean(z, axis=-2, keepdims=True)
+            return jnp.maximum(jnp.std(z - mean, axis=-1, keepdims=True),
+                               1e-12) * self.step_frac
+        qmax = float(2 ** (self.bits - 1) - 1)
+        peak = jnp.max(jnp.abs(z), axis=-1, keepdims=True)
+        return jnp.maximum(peak, 1e-12) / qmax
+
+    def __call__(self, latents: jnp.ndarray, key) -> jnp.ndarray:
+        dtype = latents.dtype
+        z = latents.astype(jnp.float32)
+        if self.mode == "ste":
+            out = z + jax.lax.stop_gradient(self._roundtrip(z) - z)
+        else:
+            noise = jax.random.uniform(key, z.shape, dtype=jnp.float32,
+                                       minval=-0.5, maxval=0.5)
+            out = z + noise * jax.lax.stop_gradient(self._step(z))
+        return out.astype(dtype)
+
+
 @jax.jit
 def dequantize_latents(bitstream: LatentBitstream) -> jnp.ndarray:
     """Codes + scales (+ mean vector for ECSQ streams) -> float32 latents."""

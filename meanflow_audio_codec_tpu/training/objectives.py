@@ -69,6 +69,19 @@ class Objective:
              ) -> tuple[jnp.ndarray, dict]:
         raise NotImplementedError
 
+    def _encode(self, variables, apply_fn: ApplyFn, key,
+                x: jnp.ndarray) -> jnp.ndarray:
+        """Encoder latents, quantization-aware when ``latent_qat`` is set.
+
+        The QAT key is folded from the step key (not split) so runs
+        without QAT keep their exact historical noise/time streams.
+        """
+        latents = apply_fn(variables, x, method="encode")
+        qat = getattr(self, "latent_qat", None)
+        if qat is not None:
+            latents = qat(latents, jax.random.fold_in(key, 0x9A7))
+        return latents
+
     def compute_loss(self, state, key, x: jnp.ndarray):
         """(loss, grads) — drop-in for the reference LossStrategy API
         (loss_strategies.py:30-47)."""
@@ -89,13 +102,16 @@ class AutoencoderObjective(Objective):
 
     use_weighted_loss: bool = False
     direct_call: bool = False
+    #: optional LatentQAT (ops.latent_quant) — train the decoder on the
+    #: quantized latents it will see at serve time (stored-format QAT)
+    latent_qat: Any = None
 
     def loss(self, params, apply_fn, key, x):
         variables = {"params": params}
         if self.direct_call:
             recon = apply_fn(variables, x)
         else:
-            latents = apply_fn(variables, x, method="encode")
+            latents = self._encode(variables, apply_fn, key, x)
             zeros = jnp.zeros_like(x)
             recon = apply_fn(variables, zeros,
                              _time_pair(jnp.zeros((x.shape[0], 1), x.dtype)),
@@ -114,6 +130,9 @@ class FlowMatchingObjective(Objective):
     use_weighted_loss: bool = True
     #: 'uniform' | 'time_dependent' | 'learned' (see ops.losses)
     loss_weighting: str = "uniform"
+    #: optional LatentQAT (ops.latent_quant) — train the decoder on the
+    #: quantized latents it will see at serve time (stored-format QAT)
+    latent_qat: Any = None
 
     def loss(self, params, apply_fn, key, x):
         k_noise, k_time = jax.random.split(key)
@@ -122,7 +141,7 @@ class FlowMatchingObjective(Objective):
         noised = self.noise_schedule.interpolate(x, noise, t)
         target = self.noise_schedule.compute_target(x, noise)
         variables = {"params": params}
-        latents = apply_fn(variables, x, method="encode")
+        latents = self._encode(variables, apply_fn, key, x)
         pred = apply_fn(variables, noised, _time_pair(t), latents)
         per_fn = (weighted_l2_per_example if self.use_weighted_loss
                   else mse_per_example)
@@ -149,6 +168,9 @@ class MeanFlowObjective(Objective):
     use_stop_gradient: bool = True
     #: 'uniform' | 'time_dependent' | 'learned' (see ops.losses)
     loss_weighting: str = "uniform"
+    #: optional LatentQAT (ops.latent_quant) — train the decoder on the
+    #: quantized latents it will see at serve time (stored-format QAT)
+    latent_qat: Any = None
 
     def loss(self, params, apply_fn, key, x):
         k_noise, k_tr = jax.random.split(key)
@@ -158,7 +180,7 @@ class MeanFlowObjective(Objective):
         noised = (1.0 - t) * x + t * noise
         v = noise - x
         variables = {"params": params}
-        latents = apply_fn(variables, x, method="encode")
+        latents = self._encode(variables, apply_fn, key, x)
 
         def u_fn(z, t_in, r_in):
             return apply_fn(variables, z, _time_pair(t_in, t_in - r_in),
@@ -189,6 +211,9 @@ class ImprovedMeanFlowObjective(Objective):
     use_stop_gradient: bool = True
     #: 'uniform' | 'time_dependent' | 'learned' (see ops.losses)
     loss_weighting: str = "uniform"
+    #: optional LatentQAT (ops.latent_quant) — train the decoder on the
+    #: quantized latents it will see at serve time (stored-format QAT)
+    latent_qat: Any = None
 
     def loss(self, params, apply_fn, key, x):
         k_noise, k_tr = jax.random.split(key)
@@ -198,7 +223,7 @@ class ImprovedMeanFlowObjective(Objective):
         noised = self.noise_schedule.interpolate(x, noise, t)
         target = self.noise_schedule.compute_target(x, noise)
         variables = {"params": params}
-        latents = apply_fn(variables, x, method="encode")
+        latents = self._encode(variables, apply_fn, key, x)
 
         def u_fn(z, t_in, r_in):
             return apply_fn(variables, z, _time_pair(t_in, t_in - r_in),
@@ -289,13 +314,22 @@ def create_loss_strategy(config: Any) -> Objective:
 
     weighting = getattr(config, "loss_weighting", None) or "uniform"
 
+    qat = None
+    qat_step = getattr(config, "qat_step_frac", None)
+    qat_bits = getattr(config, "qat_bits", None)
+    if qat_step is not None or qat_bits is not None:
+        from meanflow_audio_codec_tpu.ops.latent_quant import LatentQAT
+        qat = LatentQAT(mode=getattr(config, "qat_mode", None) or "ste",
+                        step_frac=qat_step, bits=qat_bits)
+
     if name == "autoencoder":
-        return AutoencoderObjective(use_weighted_loss=False)
+        return AutoencoderObjective(use_weighted_loss=False, latent_qat=qat)
     if name == "flow_matching":
         return FlowMatchingObjective(noise_schedule=noise_schedule,
                                      time_sampling=time_sampling,
                                      use_weighted_loss=use_weighted,
-                                     loss_weighting=weighting)
+                                     loss_weighting=weighting,
+                                     latent_qat=qat)
     stop_grad = (config.use_stop_gradient
                  if config.use_stop_gradient is not None else True)
     if name == "mean_flow":
@@ -305,13 +339,15 @@ def create_loss_strategy(config: Any) -> Objective:
             c=config.c if config.c is not None else 1e-3,
             use_stop_gradient=stop_grad,
             loss_weighting=weighting,
+            latent_qat=qat,
         )
     if name == "improved_mean_flow":
         return ImprovedMeanFlowObjective(noise_schedule=noise_schedule,
                                          time_sampling=mf_sampling,
                                          use_weighted_loss=use_weighted,
                                          use_stop_gradient=stop_grad,
-                                         loss_weighting=weighting)
+                                         loss_weighting=weighting,
+                                         latent_qat=qat)
     raise ValueError(
         f"Unknown loss_strategy: {name}. Must be one of: "
         "'autoencoder', 'flow_matching', 'mean_flow', 'improved_mean_flow'"
