@@ -17,7 +17,8 @@ from __future__ import annotations
 import argparse
 from pathlib import Path
 
-from meanflow_audio_codec_tpu.data.audio import (TARGET_SAMPLE_RATE,
+from meanflow_audio_codec_tpu.data.audio import (SYNTHETIC_FAMILIES,
+                                                 TARGET_SAMPLE_RATE,
                                                  synthetic_pipeline_for_family,
                                                  write_wav)
 
@@ -58,7 +59,7 @@ def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--out-dir", type=Path, required=True)
     parser.add_argument("--family", default="tonal",
-                        choices=("tonal", "rich"))
+                        choices=sorted(SYNTHETIC_FAMILIES))
     parser.add_argument("--num-clips", type=int, default=64)
     parser.add_argument("--seconds", type=float, default=4.46)
     parser.add_argument("--format", dest="fmt", default="wav",
