@@ -97,7 +97,7 @@ if [ ! -f "$STAMPS/4_qat_eval" ]; then
     log "stage 4: eval_suite on QAT @77k"
     timeout 7200 python -m meanflow_audio_codec_tpu.tools.eval_suite \
         --workdir "$QAT" --label _step77k --family mixed \
-        --latent-steps 0.25 0.5 1.0 --latent-bits 8
+        --latent-steps 0.5 0.7 1.0 1.5 2.0 --latent-bits 8
     timeout 1800 python -m meanflow_audio_codec_tpu.tools.export_samples \
         --workdir "$QAT" --num-clips 4 --nfe 1 --step-frac 0.5
     commit_globs "QAT 77k evidence: ECSQ rate grid + cross-family + WAV pairs" \
