@@ -46,8 +46,8 @@ def test_stalled_child_restarted_with_resume(tmp_path, capfd):
     # stall_timeout must dominate worst-case interpreter startup under a
     # loaded host (a concurrent training run): the stall timer starts at
     # launch, so a margin tighter than startup time kills a healthy child
-    # before its first heartbeat line ever prints (observed flake at 2 s).
-    rc = run_supervised(["--workdir", "w"], stall_timeout=10, max_restarts=2,
+    # before its first heartbeat line ever prints (observed flakes at 2 s and 10 s).
+    rc = run_supervised(["--workdir", "w"], stall_timeout=30, max_restarts=2,
                         command=_child(tmp_path, f"""
         import sys, time
         from pathlib import Path
@@ -91,7 +91,7 @@ def test_outage_gating_does_not_consume_restarts(tmp_path, capfd):
     probes = tmp_path / "probes"
     # stall_timeout must dominate interpreter startup under a loaded host
     # (same margin rationale as test_stalled_child_restarted_with_resume)
-    rc = run_supervised([], stall_timeout=10, max_restarts=1,
+    rc = run_supervised([], stall_timeout=30, max_restarts=1,
                         command=_child(tmp_path, f"""
         import sys, time
         from pathlib import Path
@@ -122,7 +122,7 @@ def test_outage_gating_does_not_consume_restarts(tmp_path, capfd):
 def test_outage_wait_budget_exhausted(tmp_path, capfd):
     """Probe never passes: exit EX_TEMPFAIL without relaunching."""
     launches = tmp_path / "launches"
-    rc = run_supervised([], stall_timeout=10, max_restarts=5,
+    rc = run_supervised([], stall_timeout=30, max_restarts=5,
                         command=_child(tmp_path, f"""
         import time
         from pathlib import Path
@@ -144,7 +144,7 @@ def test_healthy_child_resets_restart_budget(tmp_path, capfd):
     with max_restarts=1: progress credit must reset the counter so the
     third launch still happens and completes."""
     launches = tmp_path / "launches"
-    rc = run_supervised([], stall_timeout=10, max_restarts=1,
+    rc = run_supervised([], stall_timeout=30, max_restarts=1,
                         command=_child(tmp_path, f"""
         import time
         from pathlib import Path
