@@ -45,6 +45,7 @@ No-Verification-Needed: output artifacts / run logs only, no source change"
 
 run_supervised() { # run_supervised <config> <workdir> <pidfile> [extra args...]
     local cfg=$1 wd=$2 pidfile=$3; shift 3
+    mkdir -p "$wd"  # the log redirect below needs the dir before the trainer makes it
     python -m meanflow_audio_codec_tpu.tools.supervise --stall-timeout 600 -- \
         --config "$cfg" --workdir "$wd" "$@" >> "$wd/supervise_chain.log" 2>&1 &
     echo $! > "$pidfile"
