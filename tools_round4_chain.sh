@@ -8,10 +8,14 @@
 #   stage 3  QAT fine-tune 65k->77k (configs/imf_qat_ecsq.json, STE ECSQ,
 #            mixed family) seeded from the v3 checkpoint, supervised -> commit
 #   stage 4  eval_suite on QAT @77k with the ECSQ rate grid          -> commit
-#   stage 5  frontier ch256-s8 run (50k, mixed family), supervised   -> commit
-#   stage 6  eval_suite on frontier + RTF point                      -> commit
 #   stage 7  trainer-MFU probe at the ch1024 bench geometry (1.2k)   -> commit
 #   stage 8  corpus rehearsal: 5k trainer-scale steps from FLAC dir  -> commit
+#   stage 5  frontier ch256-s8 run (50k, mixed family), supervised   -> commit
+#   stage 6  eval_suite on frontier + RTF point                      -> commit
+#
+# Stage order 7 -> 8 -> 5 -> 6 (since the round-4 machine reset): the two
+# bounded probes land their evidence first; the long frontier run then owns
+# the chip and keeps training across the round boundary (v3 precedent).
 #
 # Idempotent: each stage drops a stamp in outputs/round4_stamps/ and is
 # skipped on relaunch. Run detached:  nohup bash tools_round4_chain.sh &
@@ -107,6 +111,35 @@ if [ ! -f "$STAMPS/4_qat_eval" ]; then
     touch "$STAMPS/4_qat_eval"
 fi
 
+# ---- stage 7: production-trainer MFU probe at bench geometry ------------
+if [ ! -f "$STAMPS/7_mfu_probe" ]; then
+    log "stage 7: trainer MFU probe (ch1024, 1.2k steps)"
+    timeout 3600 python train.py --config configs/trainer_mfu_ch1024.json \
+        > outputs/trainer_mfu_ch1024_run.log 2>&1
+    commit_globs "production-trainer MFU probe at the ch1024 bench geometry" \
+        "outputs/trainer_mfu_ch1024/logs/train_log.jsonl" \
+        "outputs/trainer_mfu_ch1024_run.log"
+    touch "$STAMPS/7_mfu_probe"
+fi
+
+# ---- stage 8: corpus rehearsal ------------------------------------------
+if [ ! -f "$STAMPS/8_rehearsal" ]; then
+    log "stage 8: corpus rehearsal (5k steps from outputs/corpus_flac)"
+    if ! ls outputs/corpus_flac/*.flac >/dev/null 2>&1; then
+        log "stage 8: synthesizing the 1k-clip FLAC corpus first"
+        timeout 3600 python -m meanflow_audio_codec_tpu.tools.make_corpus \
+            --out-dir outputs/corpus_flac --family mixed --num-clips 1000 \
+            --seconds 4.46 --format flac --seed 7 \
+            > outputs/corpus_flac_make.log 2>&1
+    fi
+    timeout 7200 python train.py --config configs/corpus_rehearsal.json \
+        > outputs/corpus_rehearsal_run.log 2>&1
+    commit_globs "corpus rehearsal: 5k trainer-scale steps fed by the native FLAC loader" \
+        "outputs/corpus_rehearsal/logs/train_log.jsonl" \
+        "outputs/corpus_rehearsal_run.log" "outputs/corpus_flac_make.log"
+    touch "$STAMPS/8_rehearsal"
+fi
+
 # ---- stage 5: frontier ch256 run ---------------------------------------
 if [ ! -f "$STAMPS/5_frontier_done" ]; then
     log "stage 5: frontier ch256-s8 50k run"
@@ -125,28 +158,6 @@ if [ ! -f "$STAMPS/6_frontier_eval" ]; then
         "$FRT/evaluation_results_step50k*.json" \
         "$FRT/logs/train_log.jsonl" "$FRT/config.json"
     touch "$STAMPS/6_frontier_eval"
-fi
-
-# ---- stage 7: production-trainer MFU probe at bench geometry ------------
-if [ ! -f "$STAMPS/7_mfu_probe" ]; then
-    log "stage 7: trainer MFU probe (ch1024, 1.2k steps)"
-    timeout 3600 python train.py --config configs/trainer_mfu_ch1024.json \
-        > outputs/trainer_mfu_ch1024_run.log 2>&1
-    commit_globs "production-trainer MFU probe at the ch1024 bench geometry" \
-        "outputs/trainer_mfu_ch1024/logs/train_log.jsonl" \
-        "outputs/trainer_mfu_ch1024_run.log"
-    touch "$STAMPS/7_mfu_probe"
-fi
-
-# ---- stage 8: corpus rehearsal ------------------------------------------
-if [ ! -f "$STAMPS/8_rehearsal" ]; then
-    log "stage 8: corpus rehearsal (5k steps from outputs/corpus_flac)"
-    timeout 7200 python train.py --config configs/corpus_rehearsal.json \
-        > outputs/corpus_rehearsal_run.log 2>&1
-    commit_globs "corpus rehearsal: 5k trainer-scale steps fed by the native FLAC loader" \
-        "outputs/corpus_rehearsal/logs/train_log.jsonl" \
-        "outputs/corpus_rehearsal_run.log"
-    touch "$STAMPS/8_rehearsal"
 fi
 
 log "chain complete"
