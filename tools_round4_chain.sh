@@ -125,19 +125,41 @@ fi
 # ---- stage 8: corpus rehearsal ------------------------------------------
 if [ ! -f "$STAMPS/8_rehearsal" ]; then
     log "stage 8: corpus rehearsal (5k steps from outputs/corpus_flac)"
-    if ! ls outputs/corpus_flac/*.flac >/dev/null 2>&1; then
-        log "stage 8: synthesizing the 1k-clip FLAC corpus first"
-        timeout 3600 python -m meanflow_audio_codec_tpu.tools.make_corpus \
+    n_flac=$(ls outputs/corpus_flac/*.flac 2>/dev/null | wc -l)
+    if [ "$n_flac" -lt 1000 ]; then
+        log "stage 8: synthesizing the 1k-clip FLAC corpus first (have $n_flac)"
+        if ! timeout 3600 python -m meanflow_audio_codec_tpu.tools.make_corpus \
             --out-dir outputs/corpus_flac --family mixed --num-clips 1000 \
             --seconds 4.46 --format flac --seed 7 \
-            > outputs/corpus_flac_make.log 2>&1
+            > outputs/corpus_flac_make.log 2>&1; then
+            log "stage 8: make_corpus FAILED (rc=$?) — not proceeding to rehearsal"
+            exit 1
+        fi
+        n_flac=$(ls outputs/corpus_flac/*.flac 2>/dev/null | wc -l)
+        if [ "$n_flac" -lt 1000 ]; then
+            log "stage 8: corpus incomplete ($n_flac/1000 clips) — aborting stage"
+            exit 1
+        fi
     fi
-    timeout 7200 python train.py --config configs/corpus_rehearsal.json \
-        > outputs/corpus_rehearsal_run.log 2>&1
-    commit_globs "corpus rehearsal: 5k trainer-scale steps fed by the native FLAC loader" \
-        "outputs/corpus_rehearsal/logs/train_log.jsonl" \
-        "outputs/corpus_rehearsal_run.log" "outputs/corpus_flac_make.log"
-    touch "$STAMPS/8_rehearsal"
+    if timeout 7200 python train.py --config configs/corpus_rehearsal.json \
+        > outputs/corpus_rehearsal_run.log 2>&1 \
+       && python - <<'EOF'
+import json, sys
+want = json.load(open("configs/corpus_rehearsal.json"))["base"]["n_steps"]
+last = 0
+for line in open("outputs/corpus_rehearsal/logs/train_log.jsonl"):
+    try: last = max(last, json.loads(line).get("step", 0))
+    except Exception: pass
+sys.exit(0 if last >= want - 1 else 1)
+EOF
+    then
+        commit_globs "corpus rehearsal: 5k trainer-scale steps fed by the native FLAC loader" \
+            "outputs/corpus_rehearsal/logs/train_log.jsonl" \
+            "outputs/corpus_rehearsal_run.log" "outputs/corpus_flac_make.log"
+        touch "$STAMPS/8_rehearsal"
+    else
+        log "stage 8: rehearsal train.py failed or log short — stamp NOT set"
+    fi
 fi
 
 # ---- stage 5: frontier ch256 run ---------------------------------------
