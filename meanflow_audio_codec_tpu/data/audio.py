@@ -627,21 +627,188 @@ def synthetic_audio_pipeline_rich(seed: int = 0,
         yield (out * target / (peak + 1e-6)).astype(np.float32)
 
 
+def synthetic_audio_pipeline_speech(seed: int = 0,
+                                    frame_size: int = DEFAULT_FRAME_SIZE,
+                                    batch_size: int = 32,
+                                    sample_rate: int = TARGET_SAMPLE_RATE
+                                    ) -> Iterator[np.ndarray]:
+    """Speech-like synthetic family: formant-filtered glottal harmonics.
+
+    The tonal/rich families have no speech structure, which makes
+    STOI/eSTOI (designed for 10 kHz-band speech, Taal et al. 2011)
+    near-degenerate on them (documentation/results.md "STOI scale
+    break"). This family synthesizes pseudo-speech so the perceptual
+    metrics measure what they were built for:
+
+      * glottal source: K=40 harmonics of a drifting f0 (90-250 Hz male/
+        female range) with vibrato, declination and low-rate jitter;
+      * vocal tract: 3 formant resonances (log-normal bumps around
+        time-varying centers F1 300-800, F2 800-2200, F3 2300-3200 Hz)
+        plus a -6 dB/oct source tilt, applied as per-harmonic amplitude
+        envelopes at control rate (hop 256) — no filtering pass needed;
+      * prosody: syllabic energy modulation at 2.5-6 Hz with per-clip
+        random pulse sharpening, pauses via a slow gate;
+      * fricatives: high-band (2-7 kHz) shaped noise bursts gated in the
+        syllable gaps (complementary envelope), Bernoulli per clip;
+      * near-centered stereo (speech is a center-panned source).
+
+    Stands in (with the rich family) for the reference's real corpus
+    (reference datasets/audio.py:93-132) on the axis music misses.
+    Amplitude envelopes are computed on a T/256 control grid and
+    upsampled by repetition — the full-rate work is one [B, K, T] sin.
+    """
+    rng = np.random.default_rng(seed)
+    t = np.arange(frame_size, dtype=np.float32) / sample_rate      # [T]
+    two_pi = np.float32(2 * np.pi)
+    hop = 256
+    n_ctrl = -(-frame_size // hop)  # ceil: cover a non-multiple tail
+    t_ctrl = (np.arange(n_ctrl, dtype=np.float32) + 0.5) * hop / sample_rate
+    n_harm = 40
+    k_h = np.arange(1, n_harm + 1, dtype=np.float32)               # [K]
+
+    def sin_cycles(cycles: np.ndarray) -> np.ndarray:
+        centered = cycles - np.floor(cycles + np.float32(0.5))
+        return np.sin(two_pi * centered)
+
+    f_lo = np.array([300.0, 800.0, 2300.0], dtype=np.float32)
+    f_hi = np.array([800.0, 2200.0, 3200.0], dtype=np.float32)
+    band_limit = np.float32(5000.0)
+
+    while True:
+        b = batch_size
+        # --- f0 contour at audio rate: base x vibrato x declination -------
+        f0_base = np.exp(rng.uniform(np.log(90.0), np.log(250.0),
+                                     size=(b, 1))).astype(np.float32)
+        vib_hz = rng.uniform(4.0, 7.0, size=(b, 1)).astype(np.float32)
+        vib_amt = rng.uniform(0.005, 0.03, size=(b, 1)).astype(np.float32)
+        vib_ph = rng.uniform(0, 1, size=(b, 1)).astype(np.float32)
+        decl = rng.uniform(-0.25, 0.05, size=(b, 1)).astype(np.float32)
+        drift_hz = rng.uniform(0.3, 1.2, size=(b, 1)).astype(np.float32)
+        drift_amt = rng.uniform(0.02, 0.12, size=(b, 1)).astype(np.float32)
+        drift_ph = rng.uniform(0, 1, size=(b, 1)).astype(np.float32)
+        log_f0 = (np.log(f0_base) + decl * t[None, :]
+                  + vib_amt * sin_cycles(vib_hz * t + vib_ph)
+                  + drift_amt * sin_cycles(drift_hz * t + drift_ph))
+        f0 = np.exp(log_f0).astype(np.float32)                     # [B, T]
+        phase = np.cumsum(f0, axis=-1, dtype=np.float64) / sample_rate
+        phase = phase.astype(np.float32)                           # cycles
+
+        # --- formant trajectories + harmonic amplitudes at control rate ---
+        f0_ctrl = f0[:, hop // 2::hop]                             # [B, Tc']
+        if f0_ctrl.shape[-1] < n_ctrl:  # ceil grid: pad with the last value
+            f0_ctrl = np.pad(f0_ctrl,
+                             ((0, 0), (0, n_ctrl - f0_ctrl.shape[-1])),
+                             mode="edge")
+        f0_ctrl = f0_ctrl[:, :n_ctrl]                              # [B, Tc]
+        harm_f = k_h[None, :, None] * f0_ctrl[:, None, :]          # [B,K,Tc]
+        amp = np.zeros((b, n_harm, n_ctrl), dtype=np.float32)
+        for i in range(3):
+            center = np.exp(rng.uniform(np.log(f_lo[i]), np.log(f_hi[i]),
+                                        size=(b, 1))).astype(np.float32)
+            move_hz = rng.uniform(2.0, 5.0, size=(b, 1)).astype(np.float32)
+            move_amt = rng.uniform(0.08, 0.35, size=(b, 1)).astype(np.float32)
+            move_ph = rng.uniform(0, 1, size=(b, 1)).astype(np.float32)
+            track = center * np.exp(
+                move_amt * sin_cycles(move_hz * t_ctrl + move_ph))
+            bw = rng.uniform(0.12, 0.25, size=(b, 1, 1)).astype(np.float32)
+            gain = np.float32([1.0, 0.63, 0.35][i])
+            amp += gain * np.exp(
+                -0.5 * np.square(np.log(harm_f / track[:, None, :])) / bw**2)
+        tilt = (200.0 / np.maximum(harm_f, 200.0))                 # -6 dB/oct
+        amp = (amp + 0.05) * tilt * (harm_f < band_limit)
+        amp_full = np.repeat(amp, hop, axis=-1)[..., :frame_size]  # [B,K,T]
+
+        # --- voiced part: sum of formant-weighted harmonics ---------------
+        ph_k = rng.uniform(0, 1, size=(b, n_harm, 1)).astype(np.float32)
+        voiced = np.sum(amp_full * sin_cycles(
+            k_h[None, :, None] * phase[:, None, :] + ph_k), axis=1)
+
+        # --- syllabic prosody envelope -------------------------------------
+        syl_hz = rng.uniform(2.5, 6.0, size=(b, 1)).astype(np.float32)
+        syl_ph = rng.uniform(0, 1, size=(b, 1)).astype(np.float32)
+        sharp = rng.uniform(1.5, 4.0, size=(b, 1)).astype(np.float32)
+        syl = np.float32(0.03) + np.float32(0.97) * np.power(
+            0.5 * (1 + sin_cycles(syl_hz * t + syl_ph)), sharp)
+        pause_hz = rng.uniform(0.5, 1.3, size=(b, 1)).astype(np.float32)
+        pause_ph = rng.uniform(0, 1, size=(b, 1)).astype(np.float32)
+        # floor 0.04: a short clip that lands entirely in a pause must
+        # still carry signal (peak-normalize would blow up silence)
+        gate = np.clip(2.5 * (0.5 + 0.5 * sin_cycles(
+            pause_hz * t + pause_ph)) - 0.25, 0.04, 1.0)
+        voiced *= (syl * gate).astype(np.float32)
+
+        # --- fricative noise in the syllable gaps --------------------------
+        fric_on = (rng.random((b, 1)) < 0.7).astype(np.float32)
+        noise = rng.standard_normal((b, frame_size), dtype=np.float32)
+        spec = np.fft.rfft(noise, axis=-1)
+        fbin = (np.arange(spec.shape[-1], dtype=np.float32)
+                * sample_rate / frame_size)
+        f_fric = np.exp(rng.uniform(np.log(2000.0), np.log(6000.0),
+                                    size=(b, 1))).astype(np.float32)
+        shape = np.exp(-0.5 * np.square(np.log(
+            np.maximum(fbin[None, :], 1.0) / f_fric)) / 0.36)
+        fric = np.fft.irfft(spec * shape, n=frame_size, axis=-1
+                            ).astype(np.float32)
+        fric /= (np.std(fric, axis=-1, keepdims=True) + 1e-6)
+        fric_lvl = rng.uniform(0.05, 0.25, size=(b, 1)).astype(np.float32)
+        fric *= fric_on * fric_lvl * ((1.0 - syl) ** 2 * gate
+                                      ).astype(np.float32)
+
+        # --- mix, near-center stereo, peak normalize -----------------------
+        mono = voiced + fric
+        pan = rng.uniform(0.4, 0.6, size=(b, 1)).astype(np.float32)
+        out = np.stack([mono * np.sqrt(pan), mono * np.sqrt(1 - pan)],
+                       axis=-1)                                    # [B, T, 2]
+        peak = np.max(np.abs(out), axis=(1, 2), keepdims=True)
+        target = rng.uniform(0.3, 0.85, size=(b, 1, 1)).astype(np.float32)
+        yield (out * target / (peak + 1e-6)).astype(np.float32)
+
+
 def synthetic_audio_pipeline_mixed(seed: int = 0,
                                    frame_size: int = DEFAULT_FRAME_SIZE,
                                    batch_size: int = 32,
                                    sample_rate: int = TARGET_SAMPLE_RATE
                                    ) -> Iterator[np.ndarray]:
-    """Per-clip 50/50 interleave of the tonal and rich families.
+    """Per-clip interleave of the tonal, rich and speech families
+    (0.35 / 0.35 / 0.30).
 
     The training-distribution proxy for the reference's real-music corpus
     (reference datasets/audio.py:93-132): models trained tonal-only drop
     ~10 dB SI-SNR on the rich family (documentation/results.md
-    cross-family table), so the mixed stream trains both regimes in one
-    run. Clips are drawn independently per row (Bernoulli 0.5), so every
-    batch carries both families and the replay pool stays balanced in
-    expectation.
+    cross-family table), so the mixed stream trains all regimes in one
+    run. Clips are drawn independently per row, so every batch carries
+    all families and the replay pool stays balanced in expectation.
+
+    Round-5 change: the speech family joined the mix (was 50/50
+    tonal/rich through round 4 — results tagged "mixed2" predate it);
+    ``mixed2`` keeps the historical two-family stream reproducible.
     """
+    rng = np.random.default_rng(seed)
+    tonal = synthetic_audio_pipeline(seed=seed, frame_size=frame_size,
+                                     batch_size=batch_size,
+                                     sample_rate=sample_rate)
+    rich = synthetic_audio_pipeline_rich(seed=seed + 1,
+                                         frame_size=frame_size,
+                                         batch_size=batch_size,
+                                         sample_rate=sample_rate)
+    speech = synthetic_audio_pipeline_speech(seed=seed + 2,
+                                             frame_size=frame_size,
+                                             batch_size=batch_size,
+                                             sample_rate=sample_rate)
+    for a, b, c in zip(tonal, rich, speech):
+        u = rng.random(batch_size)
+        pick = np.where(u < 0.35, 0, np.where(u < 0.70, 1, 2))
+        stacked = np.stack([a, b, c], axis=0)                # [3, B, T, 2]
+        yield stacked[pick, np.arange(batch_size)]
+
+
+def synthetic_audio_pipeline_mixed2(seed: int = 0,
+                                    frame_size: int = DEFAULT_FRAME_SIZE,
+                                    batch_size: int = 32,
+                                    sample_rate: int = TARGET_SAMPLE_RATE
+                                    ) -> Iterator[np.ndarray]:
+    """The historical round-2..4 two-family (tonal/rich 50/50) mix —
+    kept so pre-speech evaluation rows stay reproducible."""
     rng = np.random.default_rng(seed)
     tonal = synthetic_audio_pipeline(seed=seed, frame_size=frame_size,
                                      batch_size=batch_size,
@@ -658,7 +825,9 @@ def synthetic_audio_pipeline_mixed(seed: int = 0,
 SYNTHETIC_FAMILIES = {
     "tonal": synthetic_audio_pipeline,
     "rich": synthetic_audio_pipeline_rich,
+    "speech": synthetic_audio_pipeline_speech,
     "mixed": synthetic_audio_pipeline_mixed,
+    "mixed2": synthetic_audio_pipeline_mixed2,
 }
 
 

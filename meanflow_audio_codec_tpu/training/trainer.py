@@ -418,6 +418,7 @@ def train_flow(config: TrainFlowConfig, resume: bool = False) -> dict:
     token_shape = (n_tokens, token_dim)
 
     loss_ema = None
+    skipped_updates = 0  # count of guard-rejected (non-finite) updates
     batch = first_batch
     is_mean_flow = (config.method in ("mean_flow", "improved_mean_flow")
                     or config.use_improved_mean_flow)
@@ -497,16 +498,25 @@ def train_flow(config: TrainFlowConfig, resume: bool = False) -> dict:
         for i in range(k):
             loss = float(series["loss"][i])
             mse = float(series["mse"][i]) if "mse" in series else None
+            grad_norm = (float(series["grad_norm"][i])
+                         if "grad_norm" in series else None)
+            update_ok = (bool(series["update_ok"][i])
+                         if "update_ok" in series else None)
+            if update_ok is False:
+                skipped_updates += 1
             if np.isfinite(loss):  # a skipped NaN step must not poison the EMA
                 loss_ema = ema(loss_ema, loss)
             log.write_step(step + i, loss=loss, loss_avg=loss_ema, mse=mse,
                            lr=lr_at_step(config, step + i),
+                           grad_norm=grad_norm, update_ok=update_ok,
                            step_time=per_step_time,
                            **{name: value for name, value in record.items()
                               if name not in ("step_time",)})
-            if (step + i) % 50 == 0:
+            if (step + i) % 50 == 0 or update_ok is False:
                 mfu = record.get("mfu")
                 mfu_str = f" mfu={mfu:.1%}" if mfu else ""
+                if skipped_updates:
+                    mfu_str += f" SKIPPED={skipped_updates}"
                 mse_str = f" mse={mse:.5f}" if mse is not None else ""
                 # loss_ema is None until the first FINITE loss (the
                 # non-finite guard above skips the EMA update)

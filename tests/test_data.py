@@ -164,28 +164,128 @@ def test_synthetic_rich_family_shape_and_stats():
         synthetic_pipeline_for_family("nope")
 
 
-def test_synthetic_mixed_family_interleaves_both():
+def test_synthetic_mixed_family_interleaves_all_three():
     from meanflow_audio_codec_tpu.data.audio import (
         synthetic_audio_pipeline,
         synthetic_audio_pipeline_mixed,
         synthetic_audio_pipeline_rich,
+        synthetic_audio_pipeline_speech,
+        synthetic_pipeline_for_family,
+    )
+    kwargs = dict(frame_size=2048, batch_size=32)
+    mixed = next(synthetic_audio_pipeline_mixed(seed=0, **kwargs))
+    assert mixed.shape == (32, 2048, 2)
+    assert mixed.dtype == np.float32
+    # every row comes verbatim from one of the three source streams
+    tonal = next(synthetic_audio_pipeline(seed=0, **kwargs))
+    rich = next(synthetic_audio_pipeline_rich(seed=1, **kwargs))
+    speech = next(synthetic_audio_pipeline_speech(seed=2, **kwargs))
+    from_tonal = [np.array_equal(mixed[i], tonal[i]) for i in range(32)]
+    from_rich = [np.array_equal(mixed[i], rich[i]) for i in range(32)]
+    from_speech = [np.array_equal(mixed[i], speech[i]) for i in range(32)]
+    assert all(t or r or s
+               for t, r, s in zip(from_tonal, from_rich, from_speech))
+    # and a 32-row batch at this seed actually carries all three families
+    assert any(from_tonal) and any(from_rich) and any(from_speech)
+    # deterministic per seed; reachable through the dispatcher
+    again = next(synthetic_pipeline_for_family("mixed", seed=0, **kwargs))
+    assert np.array_equal(mixed, again)
+
+
+def test_synthetic_mixed2_family_is_the_historical_two_way_mix():
+    """``mixed2`` preserves the round-2..4 tonal/rich 50/50 stream so
+    pre-speech evaluation rows stay reproducible."""
+    from meanflow_audio_codec_tpu.data.audio import (
+        synthetic_audio_pipeline,
+        synthetic_audio_pipeline_mixed2,
+        synthetic_audio_pipeline_rich,
         synthetic_pipeline_for_family,
     )
     kwargs = dict(frame_size=2048, batch_size=16)
-    mixed = next(synthetic_audio_pipeline_mixed(seed=0, **kwargs))
-    assert mixed.shape == (16, 2048, 2)
-    assert mixed.dtype == np.float32
-    # every row comes verbatim from one of the two source streams
+    mixed = next(synthetic_audio_pipeline_mixed2(seed=0, **kwargs))
     tonal = next(synthetic_audio_pipeline(seed=0, **kwargs))
     rich = next(synthetic_audio_pipeline_rich(seed=1, **kwargs))
     from_tonal = [np.array_equal(mixed[i], tonal[i]) for i in range(16)]
     from_rich = [np.array_equal(mixed[i], rich[i]) for i in range(16)]
     assert all(t or r for t, r in zip(from_tonal, from_rich))
-    # and a 16-row batch at this seed actually carries both families
     assert any(from_tonal) and any(from_rich)
-    # deterministic per seed; reachable through the dispatcher
-    again = next(synthetic_pipeline_for_family("mixed", seed=0, **kwargs))
+    again = next(synthetic_pipeline_for_family("mixed2", seed=0, **kwargs))
     assert np.array_equal(mixed, again)
+
+
+def test_synthetic_speech_family_basics():
+    from meanflow_audio_codec_tpu.data.audio import (
+        synthetic_audio_pipeline_speech,
+    )
+    frames = next(synthetic_audio_pipeline_speech(seed=0, frame_size=4096,
+                                                  batch_size=4))
+    assert frames.shape == (4, 4096, 2)
+    assert frames.dtype == np.float32
+    assert np.isfinite(frames).all()
+    peaks = np.abs(frames).max(axis=(1, 2))
+    assert (peaks <= 0.9 + 1e-4).all() and (peaks >= 0.25 - 1e-4).all()
+    # deterministic per seed, distinct across seeds
+    again = next(synthetic_audio_pipeline_speech(seed=0, frame_size=4096,
+                                                 batch_size=4))
+    assert np.array_equal(frames, again)
+    other = next(synthetic_audio_pipeline_speech(seed=1, frame_size=4096,
+                                                 batch_size=4))
+    assert not np.array_equal(frames, other)
+
+
+def test_synthetic_speech_family_has_speech_band_structure():
+    """Speech clips concentrate energy below ~5 kHz (formant band-limit)
+    and carry syllabic (2.5-6 Hz) amplitude modulation."""
+    from meanflow_audio_codec_tpu.data.audio import (
+        synthetic_audio_pipeline_speech,
+    )
+    sr = 44100
+    frames = next(synthetic_audio_pipeline_speech(seed=7, frame_size=65536,
+                                                  batch_size=4,
+                                                  sample_rate=sr))
+    mono = frames.mean(axis=-1)                                    # [B, T]
+    spec = np.abs(np.fft.rfft(mono, axis=-1)) ** 2
+    fbin = np.arange(spec.shape[-1]) * sr / mono.shape[-1]
+    low = spec[:, fbin < 5000].sum(axis=-1)
+    total = spec.sum(axis=-1) + 1e-12
+    # formant synthesis band-limits harmonics at 5 kHz; only the
+    # fricative noise lives above, and it is quiet
+    assert (low / total > 0.80).all()
+    # syllabic modulation: the Hilbert-free envelope (abs + lowpass via
+    # frame RMS at 10 ms) has substantial variance relative to its mean
+    frame = 441  # 10 ms
+    n = (mono.shape[-1] // frame) * frame
+    rms = np.sqrt((mono[:, :n].reshape(4, -1, frame) ** 2).mean(-1))
+    crest = rms.max(axis=-1) / (rms.mean(axis=-1) + 1e-9)
+    assert (crest > 1.8).all()
+
+
+def test_stoi_is_meaningful_on_speech_family():
+    """VERDICT r4 weak#5: STOI must discriminate on STOI-valid content.
+    Clean speech scores ~1.0 and degrades monotonically with noise."""
+    from meanflow_audio_codec_tpu.data.audio import (
+        synthetic_audio_pipeline_speech,
+    )
+    from meanflow_audio_codec_tpu.evaluators.audio_metrics import stoi
+
+    sr = 44100
+    clip = next(synthetic_audio_pipeline_speech(
+        seed=3, frame_size=sr * 2, batch_size=1, sample_rate=sr))[0]
+    mono = clip.mean(axis=-1)
+    rng = np.random.default_rng(0)
+    noise = rng.standard_normal(mono.shape).astype(np.float32)
+    noise *= np.std(mono) / np.std(noise)
+
+    def at_snr(snr_db):
+        return mono + noise * (10.0 ** (-snr_db / 20.0))
+
+    clean = stoi(mono, mono, sample_rate=sr)
+    assert clean > 0.97
+    scores = [stoi(mono, at_snr(snr), sample_rate=sr)
+              for snr in (20.0, 5.0, -5.0)]
+    assert clean >= scores[0] >= scores[1] >= scores[2]
+    # the range actually discriminates (not a degenerate flat metric)
+    assert scores[0] - scores[2] > 0.15
 
 
 def test_synthetic_rich_family_has_transient_structure():
