@@ -35,6 +35,7 @@ from meanflow_audio_codec_tpu.training.checkpoints import (
 )
 from meanflow_audio_codec_tpu.training.trainer import (
     TokenAdapter,
+    adapter_from_config,
     load_flow_state,
     resolve_flatten_mode,
 )
@@ -54,9 +55,7 @@ class AudioCodec:
         self.config = config
         strategy = create_tokenization_strategy(config.tokenization_strategy,
                                                 config.tokenization_config)
-        coeff_scale = (config.tokenization_config or {}).get(
-            "coeff_scale", 1.0)
-        self.adapter = TokenAdapter(strategy, "frames", scale=coeff_scale)
+        self.adapter = adapter_from_config(config, strategy, "frames")
         self.noise_dim = config.noise_dimension
         self.latent_dim = config.latent_dimension
         self._build_compiled()
@@ -113,10 +112,17 @@ class AudioCodec:
 
         @jax.jit
         def encode_fn(params, audio):
+            """audio -> (latents, per-frame gains). Gains are all-ones
+            unless the run trained gain-normalised (adapter.gain_norm)."""
             tokens = adapter.strategy.tokenize(audio)
             if adapter.scale != 1.0:
                 tokens = tokens / adapter.scale
-            return encode_tokens_fn(params, tokens)
+            if adapter.gain_norm:
+                gains = adapter._gains(tokens)
+                tokens = tokens / gains
+            else:
+                gains = jnp.ones(tokens.shape[:2] + (1,), tokens.dtype)
+            return encode_tokens_fn(params, tokens), gains
 
         @partial(jax.jit, static_argnames=("nfe",))
         def decode_tokens_fn(params, latents, key, nfe, noise=None):
@@ -133,34 +139,50 @@ class AudioCodec:
             return flat.reshape(b, nf, noise_dim)
 
         @partial(jax.jit, static_argnames=("nfe",))
-        def decode_fn(params, latents, key, nfe):
+        def decode_fn(params, latents, key, nfe, gains=None):
             nf = latents.shape[1]
             tokens = decode_tokens_fn(params, latents, key, nfe)
             return adapter.detokenize_flat(
-                tokens.reshape(-1, noise_dim), (nf, noise_dim))
+                tokens.reshape(-1, noise_dim), (nf, noise_dim), gains=gains)
 
         self._encode, self._decode = encode_fn, decode_fn
         self._encode_tokens, self._decode_tokens = (encode_tokens_fn,
                                                     decode_tokens_fn)
 
     def encode(self, audio) -> jnp.ndarray:
-        """[B, T, C] audio -> [B, n_frames, latent_dim] latents."""
+        """[B, T, C] audio -> [B, n_frames, latent_dim] latents.
+
+        On gain-normalised runs the latents describe unit-RMS frame
+        *shapes*; use :meth:`encode_with_gains` to also get the per-frame
+        gains the decode needs (``roundtrip``/``encode_packed`` handle
+        this internally).
+        """
+        return self._encode(self.params, jnp.asarray(audio))[0]
+
+    def encode_with_gains(self, audio) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """audio -> (latents [B, nf, latent_dim], gains [B, nf, 1])."""
         return self._encode(self.params, jnp.asarray(audio))
 
-    def decode(self, latents, nfe: int = 1, key=None) -> jnp.ndarray:
+    def decode(self, latents, nfe: int = 1, key=None,
+               gains=None) -> jnp.ndarray:
         """[B, n_frames, latent_dim] -> [B, T', C] audio (1-NFE default).
 
         Decoding is stochastic transport from noise; pass ``key`` for
         reproducible draws (different keys give different dithers of the
-        same content).
+        same content). ``gains`` restores per-frame energy on
+        gain-normalised runs; ``None`` decodes at unit frame RMS (the
+        generative-sampling convention).
         """
         key = jax.random.PRNGKey(0) if key is None else key
+        gains = None if gains is None else jnp.asarray(gains)
         return self._decode(self.params, jnp.asarray(latents), key,
-                            nfe=int(nfe))
+                            nfe=int(nfe), gains=gains)
 
     def roundtrip(self, audio, nfe: int = 1, key=None) -> jnp.ndarray:
         """encode + decode; the reconstruction the quality metrics score."""
-        return self.decode(self.encode(audio), nfe=nfe, key=key)
+        latents, gains = self.encode_with_gains(audio)
+        return self.decode(latents, nfe=nfe, key=key,
+                           gains=gains if self.adapter.gain_norm else None)
 
     def streaming(self, key=None, nfe: int = 1):
         """Full-duplex chunked codec (streaming.py): bounded memory,
@@ -179,14 +201,26 @@ class AudioCodec:
         mean-removed ECSQ format (MACB v2) — the continuous rate knob
         (smaller = higher rate/quality; 0.5 ~ 140 kbps on the v2 codec).
         """
+        import dataclasses
+
         from meanflow_audio_codec_tpu.ops.latent_quant import (
+            dequantize_gains,
+            quantize_gains,
             quantize_latents,
             quantize_latents_ecsq,
         )
-        latents = self.encode(audio)
+        latents, gains = self.encode_with_gains(audio)
         if step_frac is not None:
-            return quantize_latents_ecsq(latents, step_frac=step_frac)
-        return quantize_latents(latents, bits=bits)
+            stream = quantize_latents_ecsq(latents, step_frac=step_frac)
+        else:
+            stream = quantize_latents(latents, bits=bits)
+        if self.adapter.gain_norm:
+            # store the gains the byte format will carry (8-bit log grid),
+            # so in-memory and from-bytes decodes are bit-identical
+            stream = dataclasses.replace(
+                stream, gains=jnp.asarray(dequantize_gains(
+                    quantize_gains(jax.device_get(gains)))))
+        return stream
 
     def decode_packed(self, bitstream, nfe: int = 1, key=None) -> jnp.ndarray:
         """LatentBitstream -> audio; the 1-NFE flow doubles as the
@@ -194,7 +228,8 @@ class AudioCodec:
         from meanflow_audio_codec_tpu.ops.latent_quant import (
             dequantize_latents,
         )
-        return self.decode(dequantize_latents(bitstream), nfe=nfe, key=key)
+        return self.decode(dequantize_latents(bitstream), nfe=nfe, key=key,
+                           gains=bitstream.gains)
 
     def bitrate_kbps(self, bits: int = 8) -> float:
         """Nominal stored bitrate (codes + per-frame scale), before

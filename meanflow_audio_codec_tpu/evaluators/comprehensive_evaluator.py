@@ -35,6 +35,7 @@ from meanflow_audio_codec_tpu.ops.tokenize import (
 )
 from meanflow_audio_codec_tpu.training.trainer import (
     TokenAdapter,
+    adapter_from_config,
     input_example_shape,
     load_flow_state,
     resolve_flatten_mode,
@@ -75,13 +76,7 @@ class ComprehensiveEvaluator:
         self.noise_dim = config.noise_dimension
         strategy = create_tokenization_strategy(config.tokenization_strategy,
                                                 config.tokenization_config)
-        # same token scaling as training — a mismatched coeff_scale feeds
-        # the encoder out-of-distribution inputs and mis-gains the decode
-        coeff_scale = (config.tokenization_config or {}).get(
-            "coeff_scale", 1.0)
-        self.adapter = TokenAdapter(strategy,
-                                    resolve_flatten_mode(config),
-                                    scale=coeff_scale)
+        self.adapter = adapter_from_config(config, strategy)
         self.token_shape = compute_token_shape(
             strategy, input_example_shape(config))
         self.param_info = count_parameters(self.state.params)
@@ -111,14 +106,24 @@ class ComprehensiveEvaluator:
         data = np.asarray(real_data[:self.num_samples])
         # one jitted program for tokenize+encode — eager per-op dispatch is
         # pathologically slow on remote-dispatch backends (CLAUDE.md)
-        encode = jax.jit(lambda p, raw: self.state.apply_fn(
-            {"params": p}, self.adapter.tokenize(raw), method="encode"))
-        latents = encode(self.eval_params, jnp.asarray(data))
+        def _encode(p, raw):
+            flat, gains = self.adapter.tokenize_with_gain(raw)
+            return self.state.apply_fn({"params": p}, flat,
+                                       method="encode"), gains
+        encode = jax.jit(_encode)
+        latents, gains = encode(self.eval_params, jnp.asarray(data))
+        # gain/shape runs restore per-frame energy after decode; plain
+        # runs pass gains=None so the program is unchanged
+        gains = gains if self.adapter.gain_norm else None
         force_completion(latents)
         if self.latent_bits or self.latent_step:
+            import dataclasses
+
             from meanflow_audio_codec_tpu.ops.latent_quant import (
+                dequantize_gains,
                 dequantize_latents,
                 pack_bitstream,
+                quantize_gains,
                 quantize_latents,
                 quantize_latents_ecsq,
             )
@@ -129,6 +134,15 @@ class ComprehensiveEvaluator:
             else:
                 bitstream = quantize_latents(latents, bits=self.latent_bits)
                 results["latent_bits"] = self.latent_bits
+            if gains is not None:
+                # stored-format eval decodes with the gains a byte reader
+                # sees: through the 8-bit log grid, counted in the kbps
+                gains = jnp.asarray(dequantize_gains(quantize_gains(
+                    jax.device_get(gains))))
+                bitstream = dataclasses.replace(
+                    bitstream, gains=jnp.reshape(
+                        gains, (bitstream.codes.shape[0], -1, 1)
+                        if bitstream.codes.ndim == 3 else (1, -1, 1)))
             latents = dequantize_latents(bitstream)
             if self.config.dataset == "audio":
                 # real stored rate: rANS-coded bytes over the audio duration
@@ -157,7 +171,8 @@ class ComprehensiveEvaluator:
                           "note": "timing skipped (timing_runs=0); "
                                   "mean_sec is the first, compile-"
                                   "inclusive call"}
-            decoded = self.adapter.detokenize_flat(flat, self.token_shape)
+            decoded = self.adapter.detokenize_flat(flat, self.token_shape,
+                                                   gains=gains)
             decoded_np = np.asarray(jax.device_get(decoded), dtype=np.float32)
             entry = {
                 "nfe": nfe,

@@ -75,6 +75,7 @@ class LatentBitstream:
     qbits: int = 0
     mean_codes: jnp.ndarray | None = None
     mean_scale: jnp.ndarray | None = None
+    gains: jnp.ndarray | None = None
 
     @property
     def bits(self) -> int:
@@ -82,13 +83,35 @@ class LatentBitstream:
 
     def tree_flatten(self):
         return (self.codes, self.scale,
-                self.mean_codes, self.mean_scale), self.qbits
+                self.mean_codes, self.mean_scale, self.gains), self.qbits
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        codes, scale, mean_codes, mean_scale = children
+        codes, scale, mean_codes, mean_scale, gains = children
         return cls(codes, scale, qbits=aux,
-                   mean_codes=mean_codes, mean_scale=mean_scale)
+                   mean_codes=mean_codes, mean_scale=mean_scale, gains=gains)
+
+
+#: 8-bit log-gain grid: log2(gain) uniformly quantized over [-12, 4]
+#: (96 dB down to +24 dB re unit RMS) — max 2.2% per-frame gain error,
+#: ~-33 dB re signal, well under the codec's distortion floor.
+_GAIN_LOG2_LO, _GAIN_LOG2_HI = -12.0, 4.0
+
+
+def quantize_gains(gains):
+    """[B, nf, 1] float gains -> uint8 log-domain codes (numpy)."""
+    import numpy as np
+    g = np.maximum(np.asarray(gains, dtype=np.float32), 2.0 ** _GAIN_LOG2_LO)
+    t = (np.log2(g) - _GAIN_LOG2_LO) / (_GAIN_LOG2_HI - _GAIN_LOG2_LO)
+    return np.clip(np.round(t * 255.0), 0, 255).astype(np.uint8)
+
+
+def dequantize_gains(codes):
+    """uint8 log-gain codes -> float32 gains (numpy)."""
+    import numpy as np
+    t = np.asarray(codes, dtype=np.float32) / 255.0
+    return np.exp2(_GAIN_LOG2_LO
+                   + t * (_GAIN_LOG2_HI - _GAIN_LOG2_LO)).astype(np.float32)
 
 
 @partial(jax.jit, static_argnames=("bits",))
@@ -236,6 +259,10 @@ def bitstream_kbps(latent_dim: int, frames_per_second: float,
 
 _MAGIC = b"MACB"
 _FLAG_ENTROPY = 1
+#: flag bit: a uint8 log-gain section ([B*nf] bytes, quantize_gains grid)
+#: follows the scale section — orthogonal to v1/v2, old readers that
+#: ignore unknown flags would mis-parse, so readers reject unknown flags.
+_FLAG_GAINS = 2
 
 
 def pack_bitstream(bitstream: LatentBitstream,
@@ -284,6 +311,10 @@ def pack_bitstream(bitstream: LatentBitstream,
     # (no mean section) stays byte-identical for plain width-quantized
     # streams, so old readers/writers interoperate unchanged
     version = 1 if bitstream.mean_codes is None else 2
+    gain_section = b""
+    if bitstream.gains is not None:
+        flags |= _FLAG_GAINS
+        gain_section = quantize_gains(bitstream.gains).tobytes()
     header = (_MAGIC + bytes([version, bits, flags, 0])
               + np.asarray([b, nf, d], dtype="<u4").tobytes())
     mean_section = b""
@@ -294,7 +325,7 @@ def pack_bitstream(bitstream: LatentBitstream,
                         + mean_codes.tobytes())
     sizes = np.asarray([len(payload)], dtype="<u8").tobytes()
     return (header + mean_section + scale.astype("<f4").tobytes()
-            + sizes + payload)
+            + gain_section + sizes + payload)
 
 
 def unpack_bitstream(data: bytes) -> LatentBitstream:
@@ -306,6 +337,9 @@ def unpack_bitstream(data: bytes) -> LatentBitstream:
     version, bits, flags, _ = data[4:8]
     if version not in (1, 2):
         raise ValueError(f"unsupported bitstream version {version}")
+    if flags & ~(_FLAG_ENTROPY | _FLAG_GAINS):
+        raise ValueError(f"unknown bitstream flags 0x{flags:02x} — "
+                         "refusing to guess the section layout")
     b, nf, d = (int(x) for x in np.frombuffer(data[8:20], dtype="<u4"))
     off = 20
     mean_codes = mean_scale = None
@@ -319,6 +353,11 @@ def unpack_bitstream(data: bytes) -> LatentBitstream:
     scale = np.frombuffer(data[off:off + 4 * b * nf],
                           dtype="<f4").reshape(b, nf, 1)
     off += 4 * b * nf
+    gains = None
+    if flags & _FLAG_GAINS:
+        gains = dequantize_gains(np.frombuffer(
+            data[off:off + b * nf], dtype=np.uint8).reshape(b, nf, 1))
+        off += b * nf
     (payload_len,) = np.frombuffer(data[off:off + 8], dtype="<u8")
     off += 8
     payload = data[off:off + int(payload_len)]
@@ -333,7 +372,8 @@ def unpack_bitstream(data: bytes) -> LatentBitstream:
         jnp.asarray(codes), jnp.asarray(scale),
         qbits=bits if bits == 4 else 0,
         mean_codes=None if mean_codes is None else jnp.asarray(mean_codes),
-        mean_scale=None if mean_scale is None else jnp.asarray(mean_scale))
+        mean_scale=None if mean_scale is None else jnp.asarray(mean_scale),
+        gains=None if gains is None else jnp.asarray(gains))
 
 
 def _np_dtype(bits: int):
@@ -353,5 +393,6 @@ def describe_bitstream(data: bytes) -> dict:
     return {"version": version, "bits": bits,
             "coding": "rANS" if flags & _FLAG_ENTROPY else "raw",
             "quantizer": "ecsq+mean" if version == 2 else "symmetric",
+            "gain_shape": bool(flags & _FLAG_GAINS),
             "batch": b, "n_frames": nf, "latent_dim": d,
             "total_bytes": len(data)}

@@ -104,10 +104,25 @@ class StreamingEncoder:
         return jnp.zeros((batch, 0, self.codec.latent_dim), jnp.float32)
 
     def _encode_tokens(self, tokens: jnp.ndarray) -> jnp.ndarray:
-        scale = self.codec.adapter.scale
-        if scale != 1.0:
-            tokens = tokens / scale
+        adapter = self.codec.adapter
+        if adapter.scale != 1.0:
+            tokens = tokens / adapter.scale
+        if adapter.gain_norm:
+            # gain/shape runs: normalise each emitted frame and hold its
+            # gain for the decoder (last_gains), mirroring batch encode
+            gains = adapter._gains(tokens)
+            tokens = tokens / gains
+            self._last_gains = gains
+        else:
+            self._last_gains = None
         return self.codec._encode_tokens(self.codec.params, tokens)
+
+    @property
+    def last_gains(self) -> jnp.ndarray | None:
+        """[B, n, 1] per-frame gains of the frames the last ``push``/
+        ``flush`` emitted (``None`` on non-gain-normalised codecs or when
+        nothing was emitted) — side info the decoder needs."""
+        return getattr(self, "_last_gains", None)
 
     def push(self, chunk) -> jnp.ndarray:
         chunk = jnp.asarray(chunk)
@@ -125,6 +140,7 @@ class StreamingEncoder:
             out = self._encode_tokens(tokens)
         else:
             out = self._empty(chunk.shape[0])
+            self._last_gains = None  # nothing emitted -> no side info
         keep = total - max(n_ready, self._emitted) * self.hop
         self._carry = buf[:, buf.shape[1] - keep:]
         self._consumed = total
@@ -143,7 +159,11 @@ class StreamingEncoder:
         latents = self.push(chunk)
         if latents.shape[1] == 0:
             return b""
-        return pack_bitstream(quantize_latents(latents, bits=bits))
+        stream = quantize_latents(latents, bits=bits)
+        if self.last_gains is not None:
+            import dataclasses
+            stream = dataclasses.replace(stream, gains=self.last_gains)
+        return pack_bitstream(stream)
 
     def flush(self, tail=None) -> jnp.ndarray:
         """Emit the trailing zero-padded frames; resets the encoder.
@@ -209,7 +229,7 @@ class StreamingDecoder:
         shape = (batch, 0) if ch == 1 else (batch, 0, ch)
         return jnp.zeros(shape, jnp.float32)
 
-    def push(self, latents) -> jnp.ndarray:
+    def push(self, latents, gains=None) -> jnp.ndarray:
         latents = jnp.asarray(latents)
         batch, n = int(latents.shape[0]), int(latents.shape[1])
         self._batch = batch
@@ -222,9 +242,12 @@ class StreamingDecoder:
             noise=noise.reshape(batch * n, noise_dim))
         # detokenize_flat overlap-adds *within* the chunk, giving the
         # (n-1)*hop + 2W segment whose cross-chunk sum the tail carries
-        # (overlap-add is linear, so chunked == batch exactly).
+        # (overlap-add is linear, so chunked == batch exactly; per-frame
+        # gains scale tokens BEFORE the overlap-add, so gain restoration
+        # is chunking-invariant too).
         seg = self.codec.adapter.detokenize_flat(
-            tokens.reshape(batch * n, noise_dim), (n, noise_dim))
+            tokens.reshape(batch * n, noise_dim), (n, noise_dim),
+            gains=None if gains is None else jnp.asarray(gains))
         carry = self.span - self.hop
         if self._tail is not None:
             seg = seg.at[:, :carry].add(self._tail)
@@ -244,7 +267,8 @@ class StreamingDecoder:
         )
         if not packet:
             return self._empty(self._batch or 1)
-        return self.push(dequantize_latents(unpack_bitstream(packet)))
+        stream = unpack_bitstream(packet)
+        return self.push(dequantize_latents(stream), gains=stream.gains)
 
     def flush(self) -> jnp.ndarray:
         """Emit the final ``2W - H`` overlap-add tail; resets the decoder."""
@@ -274,10 +298,12 @@ class StreamingCodec:
         return self.encoder.span - self.encoder.hop
 
     def push(self, chunk) -> jnp.ndarray:
-        return self.decoder.push(self.encoder.push(chunk))
+        latents = self.encoder.push(chunk)
+        return self.decoder.push(latents, gains=self.encoder.last_gains)
 
     def flush(self, tail=None) -> jnp.ndarray:
-        parts = [self.decoder.push(self.encoder.flush(tail))]
+        latents = self.encoder.flush(tail)
+        parts = [self.decoder.push(latents, gains=self.encoder.last_gains)]
         parts.append(self.decoder.flush())
         return jnp.concatenate(parts, axis=1)
 

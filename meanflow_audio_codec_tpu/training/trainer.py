@@ -146,30 +146,76 @@ class TokenAdapter:
     full-scale audio have std ~4 with sparse peaks near 100x that, which
     mis-conditions a unit-noise flow. Set via
     ``tokenization_config["coeff_scale"]`` (default 1.0 = reference parity).
+
+    ``gain_norm`` > 0 enables gain/shape coding (the round-5 fix for the
+    mixed-family stall): every flow example is normalised to unit RMS and
+    the gain ``g = sqrt(mean(tok^2) + gain_norm^2)`` becomes codec side
+    info (AudioCodec packs it as 8-bit log-gain, ~0.4% of the bitrate).
+    Without it, per-example energy spans ~3 orders of magnitude across the
+    synthetic families and the adaptive loss weight ``1/sqrt(d2+c)``
+    (ops/losses.py:62) lets low-energy frames starve the learnable ones —
+    the mixed-family ch256 frontier run sat at grad_norm ~0.003 (60-300x
+    below tonal) and never converged (outputs/imf_frontier_ch256). The
+    epsilon floor keeps true silence from being blown up to unit noise.
     """
 
-    def __init__(self, strategy, mode: str, scale: float = 1.0):
+    def __init__(self, strategy, mode: str, scale: float = 1.0,
+                 gain_norm: float = 0.0):
         self.strategy = strategy
         self.mode = mode
         self.scale = float(scale)
+        self.gain_norm = float(gain_norm)
         self._token_shape: tuple[int, int] | None = None
 
-    def tokenize(self, x: jnp.ndarray) -> jnp.ndarray:
-        tokens = self.strategy.tokenize(x)
-        if self.scale != 1.0:
-            tokens = tokens / self.scale
+    def _gains(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        """Per-example RMS gain of [B, nf, D] scaled tokens.
+
+        frames mode: one gain per MDCT frame [B, nf, 1] (each frame is a
+        flow example); flat mode: one gain per clip [B, 1, 1].
+        """
+        axes = (-1,) if self.mode == "frames" else (-2, -1)
+        ms = jnp.mean(tokens * tokens, axis=axes, keepdims=True)
+        return jnp.sqrt(ms + self.gain_norm * self.gain_norm)
+
+    def _flatten(self, tokens: jnp.ndarray) -> jnp.ndarray:
         self._token_shape = (int(tokens.shape[1]), int(tokens.shape[2]))
         if self.mode == "frames":
             return tokens.reshape(-1, tokens.shape[-1])
         return tokens.reshape(tokens.shape[0], -1)
 
+    def tokenize(self, x: jnp.ndarray) -> jnp.ndarray:
+        tokens = self.strategy.tokenize(x)
+        if self.scale != 1.0:
+            tokens = tokens / self.scale
+        if self.gain_norm:
+            tokens = tokens / self._gains(tokens)
+        return self._flatten(tokens)
+
+    def tokenize_with_gain(self, x: jnp.ndarray
+                           ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Like :meth:`tokenize` but also returns the per-example gains
+        ([B, nf, 1] in frames mode) the decoder needs to undo the
+        normalisation. With ``gain_norm`` off the gains are all-ones."""
+        tokens = self.strategy.tokenize(x)
+        if self.scale != 1.0:
+            tokens = tokens / self.scale
+        if self.gain_norm:
+            gains = self._gains(tokens)
+            tokens = tokens / gains
+        else:
+            gains = jnp.ones(tokens.shape[:2] + (1,), tokens.dtype)
+        return self._flatten(tokens), gains
+
     def detokenize_flat(self, flat: jnp.ndarray,
-                        token_shape: tuple[int, int]) -> jnp.ndarray:
+                        token_shape: tuple[int, int],
+                        gains: jnp.ndarray | None = None) -> jnp.ndarray:
         n_tokens, token_dim = token_shape
         if self.mode == "frames":
             tokens = flat.reshape(-1, n_tokens, token_dim)
         else:
             tokens = flat.reshape(flat.shape[0], n_tokens, token_dim)
+        if gains is not None:
+            tokens = tokens * gains
         if self.scale != 1.0:
             tokens = tokens * self.scale
         return self.strategy.detokenize(tokens)
@@ -177,6 +223,19 @@ class TokenAdapter:
     @property
     def token_shape(self) -> tuple[int, int] | None:
         return self._token_shape
+
+
+def adapter_from_config(config, strategy, mode: str | None = None
+                        ) -> TokenAdapter:
+    """The one place the token-scaling knobs are read: training, codec and
+    evaluator must agree on ``coeff_scale``/``gain_norm`` or the encoder
+    sees out-of-distribution inputs and the decode is mis-gained."""
+    tok_cfg = config.tokenization_config or {}
+    return TokenAdapter(strategy,
+                        resolve_flatten_mode(config) if mode is None
+                        else mode,
+                        scale=tok_cfg.get("coeff_scale", 1.0),
+                        gain_norm=tok_cfg.get("gain_norm", 0.0))
 
 
 # ============================================================================
@@ -248,8 +307,7 @@ def train_flow(config: TrainFlowConfig, resume: bool = False) -> dict:
     strategy = create_tokenization_strategy(config.tokenization_strategy,
                                             config.tokenization_config)
     mode = resolve_flatten_mode(config)
-    coeff_scale = (config.tokenization_config or {}).get("coeff_scale", 1.0)
-    adapter = TokenAdapter(strategy, mode, scale=coeff_scale)
+    adapter = adapter_from_config(config, strategy, mode)
     example_shape = input_example_shape(config)
     n_tokens, token_dim = compute_token_shape(strategy, example_shape)
     noise_dim = token_dim if mode == "frames" else n_tokens * token_dim
@@ -430,14 +488,15 @@ def train_flow(config: TrainFlowConfig, resume: bool = False) -> dict:
         # samplers prefer the EMA weights when tracked
         params = (state.ema_params if state.ema_params is not None
                   else state.params)
-        x_tokens = adapter.tokenize(jnp.asarray(eval_batch))
+        x_tokens, gains = adapter.tokenize_with_gain(jnp.asarray(eval_batch))
         latents = state.apply_fn({"params": params}, x_tokens,
                                  method="encode")
         sampler = sample_dual_time if is_mean_flow else sample
         guidance = config.training.sample_guidance_scale or 1.0
         flat = sampler(state.apply_fn, noise_dim, params, key, latents,
                        n_steps=config.sample_steps, guidance_scale=guidance)
-        decoded = adapter.detokenize_flat(flat, token_shape)
+        decoded = adapter.detokenize_flat(
+            flat, token_shape, gains=gains if adapter.gain_norm else None)
         decoded_np = np.asarray(jax.device_get(decoded), dtype=np.float32)
         if config.dataset == "audio":
             write_wav(samples_dir / f"step_{step:05d}.wav",

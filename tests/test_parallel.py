@@ -180,6 +180,66 @@ def test_tp_factorized_mixer_2k_matches_replicated():
                                rtol=5e-4)
 
 
+def test_sharded_training_trajectory_matches_single_device(tmp_path):
+    """50-step convergence-grade equivalence (VERDICT r4 item 8): an 8-way
+    DP-sharded training trajectory must track the single-device trajectory
+    step for step, survive a mid-run sharded checkpoint save -> restore ->
+    re-shard -> resume at step 25, and actually LEARN (late-window mse
+    below the early window). One step proves the collectives; 50 steps prove the
+    optimizer state, RNG folding, and checkpoint round-trip keep the two
+    programs equivalent through real training."""
+    from meanflow_audio_codec_tpu.training.checkpoints import (
+        load_checkpoint_and_resume,
+        save_checkpoint_with_metadata,
+    )
+
+    n_steps, resume_at = 50, 25
+    mesh = create_mesh(data=8)
+    objective = ImprovedMeanFlowObjective()
+    step = make_train_step(objective, donate=False)
+    root = jax.random.PRNGKey(9)
+
+    def batch_at(i):
+        return jax.random.normal(jax.random.fold_in(root, 1000 + i), (16, 16))
+
+    def key_at(i):
+        return jax.random.fold_in(root, i)
+
+    # --- single-device trajectory ---------------------------------------
+    state = _state()
+    single_losses, single_mses = [], []
+    for i in range(n_steps):
+        state, metrics = step(state, key_at(i), batch_at(i))
+        single_losses.append(float(metrics["loss"]))
+        single_mses.append(float(metrics["mse"]))
+
+    # --- sharded trajectory with a mid-run resume ------------------------
+    sharded = shard_state(_state(), mesh)
+    sharded_losses = []
+    for i in range(n_steps):
+        if i == resume_at:
+            save_checkpoint_with_metadata(sharded, str(tmp_path), step=i)
+            restored = load_checkpoint_and_resume(str(tmp_path), _state())
+            assert restored is not None
+            restored_state, start_step = restored
+            assert start_step == resume_at
+            sharded = shard_state(restored_state, mesh)
+        data = jax.device_put(batch_at(i), batch_sharding(mesh))
+        sharded, metrics = step(sharded, key_at(i), data)
+        sharded_losses.append(float(metrics["loss"]))
+
+    # Trajectories match step for step.  Reduction order differs between
+    # the 8-way psum and the single-device sum, and the divergence
+    # compounds through 50 parameter updates — hence the loose-ish rtol.
+    np.testing.assert_allclose(sharded_losses, single_losses,
+                               rtol=3e-3, atol=1e-5)
+    # and training actually progressed: the adaptive loss is ~1.0 by
+    # construction (CLAUDE.md), so convergence is read from the mse aux,
+    # window-averaged against step-to-step noise.
+    assert np.mean(single_mses[-10:]) < np.mean(single_mses[:10])
+    assert int(sharded.step) == n_steps
+
+
 def test_factorized_mixer_param_scaling():
     """Factorised stages scale linearly with width; dense stages do not."""
     def params_at(width, factorized):
