@@ -384,3 +384,104 @@ def nsim(reference: np.ndarray, test: np.ndarray,
     luminance = (2 * mu_r * mu_d + c1) / (mu_r ** 2 + mu_d ** 2 + c1)
     structure = (cov + c2) / (np.sqrt(var_r * var_d) + c2)
     return float(np.mean(luminance * structure))
+
+
+# ============================================================================
+# Bark spectral distortion (the PESQ-axis perceptual distortion measure)
+# ============================================================================
+
+#: Zwicker (1961) critical-band edges in Hz — the published bark scale
+#: every perceptually-weighted spectral measure (BSD, PLP, PESQ's bark
+#: warping) is built on. 24 bands up to 15.5 kHz.
+_BARK_EDGES_HZ = np.array([
+    0.0, 100.0, 200.0, 300.0, 400.0, 510.0, 630.0, 770.0, 920.0, 1080.0,
+    1270.0, 1480.0, 1720.0, 2000.0, 2320.0, 2700.0, 3150.0, 3700.0,
+    4400.0, 5300.0, 6400.0, 7700.0, 9500.0, 12000.0, 15500.0])
+
+#: Zwicker intensity -> loudness power law exponent (sone scale; the same
+#: compression PESQ applies in its loudness mapping, P.862 §10.2.2).
+_BSD_LOUDNESS_EXP = 0.23
+
+#: Silence gate: frames whose reference bark energy is this far (dB)
+#: below the loudest frame carry no perceptual weight (cf. STOI's 40 dB
+#: dynamic-range gate and P.862's VAD).
+_BSD_DYN_RANGE_DB = 40.0
+
+_BSD_FRAME_SEC = 0.032  # 32 ms Hann frames, 50% overlap
+
+
+def _equal_loudness_weight(freq_hz: np.ndarray) -> np.ndarray:
+    """Hermansky (1990, JASA 87(4), eq. 5) equal-loudness curve: the
+    published 40-phon ear-sensitivity approximation used by PLP (and the
+    same role PESQ's frequency response compensation plays)."""
+    w2 = (2.0 * np.pi * np.asarray(freq_hz, np.float64)) ** 2
+    return ((w2 + 56.8e6) * w2 ** 2) / ((w2 + 6.3e6) ** 2 * (w2 + 0.38e9))
+
+
+def _bark_bank(fft_size: int, rate: int) -> np.ndarray:
+    """[bands, bins] rectangular critical-band summation matrix over the
+    rfft bins, equal-loudness weighted at the bin frequency."""
+    freqs = np.fft.rfftfreq(fft_size, d=1.0 / rate)
+    lo, hi = _BARK_EDGES_HZ[:-1], _BARK_EDGES_HZ[1:]
+    keep = lo < rate / 2.0
+    member = ((freqs[None, :] >= lo[keep, None])
+              & (freqs[None, :] < hi[keep, None]))
+    return member * _equal_loudness_weight(freqs)[None, :]
+
+
+def _bark_loudness(audio: np.ndarray, rate: int) -> np.ndarray:
+    """[frames, bands] specific-loudness spectrogram: Hann power spectrum
+    -> equal-loudness-weighted critical-band energies -> Zwicker ^0.23."""
+    x = np.asarray(audio, np.float64).reshape(-1)
+    frame = int(round(_BSD_FRAME_SEC * rate))
+    hop = frame // 2
+    n = 1 + max(0, (len(x) - frame)) // hop
+    if n < 2:
+        raise ValueError(f"signal too short for BSD ({n} frames < 2)")
+    idx = np.arange(frame)[None, :] + hop * np.arange(n)[:, None]
+    frames = x[idx] * np.hanning(frame)[None, :]
+    power = np.abs(np.fft.rfft(frames, axis=-1)) ** 2
+    bands = power @ _bark_bank(frame, rate).T
+    return bands ** _BSD_LOUDNESS_EXP
+
+
+def bsd(reference: np.ndarray, test: np.ndarray,
+        sample_rate: int = 44100) -> float:
+    """Bark spectral distortion (Wang, Sekey & Gersho 1992, IEEE JSAC
+    10(5), eq. 8): mean squared loudness-domain critical-band error,
+    normalised by the reference loudness energy.
+
+        BSD = sum_j sum_b (L_x(j,b) - L_y(j,b))^2
+              / sum_j sum_b L_x(j,b)^2
+
+    This is the perceptually-weighted distortion family PESQ (ITU-T
+    P.862) is built on — bark-scale band integration, equal-loudness
+    weighting, Zwicker intensity->loudness compression — implemented
+    from the published chain so the quality tables carry a
+    perceptual-distortion number with an in-image oracle
+    (tests/bsd_oracle.py), the way the reference relied on the licensed
+    ``pesq`` package (reference audio_metrics.py:20-65, unavailable
+    here). Anchors: BSD(x, x) == 0 exactly; monotone in additive-noise
+    SNR; level-aligned (global gain of the test signal is compensated,
+    as P.862 does). Lower is better; identity 0, ~1 means the error
+    loudness rivals the signal loudness.
+    """
+    x = np.asarray(reference, np.float64).reshape(-1)
+    y = np.asarray(test, np.float64).reshape(-1)
+    n = min(len(x), len(y))
+    x, y = x[:n], y[:n]
+    # level alignment (P.862 §10.1 aligns both signals to a target level;
+    # here: equalise RMS so BSD measures distortion, not gain)
+    rx = np.sqrt(np.mean(x * x)) + 1e-300
+    ry = np.sqrt(np.mean(y * y)) + 1e-300
+    y = y * (rx / ry)
+    lx = _bark_loudness(x, sample_rate)
+    ly = _bark_loudness(y, sample_rate)
+    # silence gate on reference frame loudness energy
+    energy = (lx ** 2).sum(axis=1)
+    gate = energy > energy.max() * 10.0 ** (-_BSD_DYN_RANGE_DB / 10.0)
+    if not gate.any():
+        raise ValueError("BSD: reference is silent")
+    num = ((lx[gate] - ly[gate]) ** 2).sum()
+    den = (lx[gate] ** 2).sum()
+    return float(num / den)

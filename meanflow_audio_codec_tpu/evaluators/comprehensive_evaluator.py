@@ -217,6 +217,13 @@ class ComprehensiveEvaluator:
             except ValueError:
                 pass
             try:
+                # PESQ-axis perceptual distortion, oracle-anchored in-image
+                # (tests/bsd_oracle.py); lower is better, identity 0
+                out["bsd"] = float(np.mean([
+                    am.bsd(r[:m], g[:m]) for r, g in zip(ref, gen)]))
+            except ValueError:
+                pass
+            try:
                 out["pesq"] = float(np.mean([
                     am.pesq_score(r[:m], g[:m]) for r, g in zip(ref, gen)]))
             except ImportError:
