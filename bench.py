@@ -170,17 +170,22 @@ def bench_frontier() -> dict:
 
     The round-3 verdict flagged that the RTF headline (untrained ch32
     profile) and the quality headline (v2/v3 ch512 runs) came from
-    different geometries. When the trained frontier run
-    (outputs/imf_frontier_ch256, ch256-s8 on the mixed family) and its
+    different geometries. When the trained frontier run and its
     committed eval JSON exist, report both cells from that single
     checkpoint: held-out NFE=1 SI-SNR from the eval artifact + the
     measured TPU RTF of the same checkpoint's encode+1-NFE-decode path
     through the public AudioCodec API. Silently absent before the run
     finishes — the headline metric is unaffected either way.
+
+    Round 5: the artifact is outputs/imf_frontier_v2 — ch256-s8 on the
+    three-family mixed stream with gain/shape coding (gain_norm 0.05),
+    65k cosine. Its predecessor (outputs/imf_frontier_ch256) never
+    converged: per-frame energy spread across families starved the
+    adaptive loss (see TokenAdapter.gain_norm); kept for the record.
     """
     from pathlib import Path
-    workdir = Path("outputs/imf_frontier_ch256")
-    eval_json = workdir / "evaluation_results_step50k.json"
+    workdir = Path("outputs/imf_frontier_v2")
+    eval_json = workdir / "evaluation_results_step65k.json"
     try:
         if not eval_json.exists():
             return {}

@@ -611,6 +611,10 @@ def train_flow(config: TrainFlowConfig, resume: bool = False) -> dict:
         log.path, total_time=perf["total_time_sec"],
         total_steps=config.n_steps - start_step, param_count=param_count)
     summary.update({k: v for k, v in perf.items() if k not in summary})
+    if device_pool is not None:
+        # non-blocking refresh observability: how often the (disk) decoder
+        # fell behind the step loop and a slot turnover was skipped
+        summary["pool_skipped_refreshes"] = device_pool.skipped_refreshes
     save_json(summary, workdir / "summary.json")
     plot_loss_curve(log.path, samples_dir / "loss_curve.png")
     log.close()
