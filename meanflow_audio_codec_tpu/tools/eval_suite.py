@@ -10,8 +10,9 @@ NFE sweep + this repo's stored-format and cross-family passes):
   2. stored-format quality through the rate-aware ECSQ bitstream at each
      ``--latent-steps`` fraction (NFE 1, measured rANS kbps);
   3. stored-format quality at fixed 8-bit codes (NFE 1);
-  4. cross-family generalization on ``--cross-family`` (default rich),
-     NFE 1 and 10.
+  4. cross-family generalization on each ``--cross-family`` (default
+     rich), NFE 1 and 10 — pass several families for a per-family
+     breakdown of a mixed-family run.
 
 Everything runs in ONE process so jit/compile work is shared across
 passes where shapes coincide, which matters on the remote-compile TPU
@@ -43,9 +44,12 @@ def main(argv: list[str] | None = None) -> int:
                         default=[1, 2, 10, 50, 250])
     parser.add_argument("--family", type=str, default="tonal",
                         help="held-out family for the quality passes")
-    parser.add_argument("--cross-family", type=str, default="rich",
-                        help="unseen family for the generalization pass "
-                             "('' skips)")
+    parser.add_argument("--cross-family", type=str, nargs="*",
+                        default=["rich"],
+                        help="families for the generalization pass, one "
+                             "NFE-[1,10] result file each (empty skips); "
+                             "for a run trained on 'mixed' pass the three "
+                             "constituents to get the per-family breakdown")
     parser.add_argument("--latent-steps", type=float, nargs="*",
                         default=[0.5],
                         help="ECSQ step fractions for the stored-format "
@@ -79,10 +83,10 @@ def main(argv: list[str] | None = None) -> int:
         run(f"_bits{args.latent_bits}", nfe_list=[1],
             synthetic_family=args.family, latent_bits=args.latent_bits,
             timing_runs=0)
-    # 4. cross-family generalization
-    if args.cross_family:
-        run(f"_{args.cross_family}", nfe_list=[1, 10],
-            synthetic_family=args.cross_family, timing_runs=0)
+    # 4. cross-family generalization / per-family breakdown
+    for family in args.cross_family:
+        run(f"_{family}", nfe_list=[1, 10],
+            synthetic_family=family, timing_runs=0)
     return 0
 
 

@@ -195,3 +195,45 @@ def test_ablation_tables(tmp_path):
     assert ablation_main(["--csv", str(csv_path),
                           "--out-dir", str(out_dir)]) == 0
     assert (out_dir / "ablation_gamma.md").exists()
+
+
+def test_eval_suite_multi_cross_family(tmp_path, monkeypatch):
+    """--cross-family accepts several families (round 5): a mixed-family
+    run's evidence protocol needs a per-family breakdown, one result file
+    per family, all in one process (compile sharing on the tunnel)."""
+    from meanflow_audio_codec_tpu.tools import eval_suite
+
+    (tmp_path / "config.json").write_text("{}")
+    calls = []
+
+    def fake_evaluate(config_path, results_name=None, **kwargs):
+        calls.append((results_name, kwargs.get("synthetic_family")))
+
+    monkeypatch.setattr(eval_suite, "evaluate_config", fake_evaluate)
+    rc = eval_suite.main([
+        "--workdir", str(tmp_path), "--label", "_stepX",
+        "--nfe", "1", "--latent-steps", "--latent-bits", "0",
+        "--cross-family", "tonal", "rich", "speech"])
+    assert rc == 0
+    tags = [c[0] for c in calls]
+    assert tags == [
+        "evaluation_results_stepX.json",
+        "evaluation_results_stepX_tonal.json",
+        "evaluation_results_stepX_rich.json",
+        "evaluation_results_stepX_speech.json"]
+    assert [c[1] for c in calls[1:]] == ["tonal", "rich", "speech"]
+
+
+def test_eval_suite_empty_cross_family_skips(tmp_path, monkeypatch):
+    from meanflow_audio_codec_tpu.tools import eval_suite
+
+    (tmp_path / "config.json").write_text("{}")
+    calls = []
+    monkeypatch.setattr(
+        eval_suite, "evaluate_config",
+        lambda config_path, results_name=None, **kw: calls.append(results_name))
+    rc = eval_suite.main([
+        "--workdir", str(tmp_path), "--nfe", "1", "--latent-steps",
+        "--latent-bits", "0", "--cross-family"])
+    assert rc == 0
+    assert calls == ["evaluation_results.json"]

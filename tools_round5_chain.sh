@@ -1,0 +1,159 @@
+#!/bin/bash
+# Round-5 evidence chain: serialize the remaining TPU work on the single
+# chip and commit each artifact the moment it exists (VERDICT r4 items
+# 1, 2, 3, 5, 6).
+#
+#   stage 1  wait for the live frontier_v2 run (65k cosine, mixed family
+#            with gain/shape coding) to finish                      -> commit
+#   stage 2  eval_suite on frontier_v2 @65k: mixed held-out NFE sweep +
+#            ECSQ + bits8 + per-family breakdown (tonal/rich/speech)
+#            + listenable WAV pairs                                 -> commit
+#   stage 3  ch256 MFU probes (VERDICT item 2): finish the batch-
+#            invariance row (b64 remat) + the untried remat-off lever
+#            (b16/b32 noremat) + remat-off at the ch1024 bench
+#            geometry (item 6); each 300-600 steps                  -> commit
+#   stage 4  corpus rehearsal v2: 5k trainer-scale steps from the
+#            on-disk FLAC corpus through the now non-blocking pool
+#            refresh (VERDICT item 5)                               -> commit
+#   stage 5  bench.py preview on the freed chip                     -> commit
+#
+# Idempotent: each stage drops a stamp in outputs/round5_stamps/ and is
+# skipped on relaunch. Run detached:  nohup bash tools_round5_chain.sh &
+set -u
+cd /root/repo
+STAMPS=outputs/round5_stamps
+mkdir -p "$STAMPS"
+FRONTIER=outputs/imf_frontier_v2
+log() { echo "[chain $(date -u '+%F %T')] $*"; }
+
+commit_globs() { # commit_globs <message> <path glob>...
+    local msg=$1; shift
+    local any=0
+    for g in "$@"; do
+        for f in $g; do [ -e "$f" ] && git add -f "$f" && any=1; done
+    done
+    if [ "$any" = 1 ] && ! git diff --cached --quiet; then
+        git commit -q -m "$msg
+
+No-Verification-Needed: output artifacts / run logs only, no source change"
+        log "committed: $msg"
+    else
+        log "nothing to commit for: $msg"
+    fi
+}
+
+last_step() { # last_step <workdir>
+    tail -1 "$1/logs/train_log.jsonl" 2>/dev/null |
+        python -c "import sys,json;print(json.loads(sys.stdin.read() or '{}').get('step',-1))" 2>/dev/null || echo -1
+}
+
+# ---- stage 1: wait out the frontier_v2 run ------------------------------
+if [ ! -f "$STAMPS/1_frontier_done" ]; then
+    target=64999
+    log "stage 1: waiting for $FRONTIER to reach step $target"
+    while true; do
+        s=$(last_step "$FRONTIER")
+        [ "$s" -ge "$target" ] && break
+        # supervisor (tools/supervise.py) owns restarts across outages
+        sleep 60
+    done
+    # let the trainer write summary.json + final checkpoint and exit
+    for i in $(seq 1 60); do
+        [ -f "$FRONTIER/summary.json" ] && break
+        sleep 10
+    done
+    log "stage 1: frontier_v2 finished at step $(last_step "$FRONTIER")"
+    commit_globs "frontier v2 65k: training run complete (mixed family, gain/shape coding)" \
+        "$FRONTIER/logs/train_log.jsonl" "$FRONTIER/summary.json" \
+        "$FRONTIER/config.json" "$FRONTIER/metadata.json" \
+        "$FRONTIER/supervise.log"
+    touch "$STAMPS/1_frontier_done"
+fi
+
+# ---- stage 2: frontier_v2 evidence --------------------------------------
+if [ ! -f "$STAMPS/2_frontier_eval" ]; then
+    log "stage 2: eval_suite on frontier_v2 @65k"
+    timeout 10800 python -m meanflow_audio_codec_tpu.tools.eval_suite \
+        --workdir "$FRONTIER" --label _step65k --family mixed \
+        --cross-family tonal rich speech \
+        --latent-steps 0.5 --latent-bits 8
+    timeout 1800 python -m meanflow_audio_codec_tpu.tools.export_samples \
+        --workdir "$FRONTIER" --num-clips 4 --nfe 1 --bits 8
+    commit_globs "frontier v2 65k evidence: mixed NFE sweep + ECSQ + per-family breakdown + WAV pairs" \
+        "$FRONTIER/evaluation_results_step65k*.json" "$FRONTIER/samples/*"
+    touch "$STAMPS/2_frontier_eval"
+fi
+
+# ---- stage 3: MFU probes (ch256 levers + bench-geometry remat-off) ------
+for probe in C64_ch256_b64_remat D2_ch256_b16_noremat D3_ch256_b32_noremat \
+             E_ch1024_b16_noremat; do
+    if [ ! -f "$STAMPS/3_probe_$probe" ]; then
+        log "stage 3: probe $probe"
+        rm -rf "outputs/probes_r5/$probe"
+        if timeout 2400 python train.py --config "configs/probes_r5/$probe.json" \
+            > "outputs/probes_r5/${probe}_run.log" 2>&1; then
+            log "stage 3: probe $probe finished"
+        else
+            log "stage 3: probe $probe FAILED (rc=$?) — recorded, continuing"
+        fi
+        commit_globs "r5 MFU probe $probe (run log + train log)" \
+            "outputs/probes_r5/${probe}_run.log" \
+            "outputs/probes_r5/$probe/logs/train_log.jsonl" \
+            "outputs/probes_r5/$probe/summary.json" \
+            "outputs/probes_r5/$probe/config.json"
+        touch "$STAMPS/3_probe_$probe"
+    fi
+done
+
+# ---- stage 4: corpus rehearsal v2 (non-blocking refresh) -----------------
+if [ ! -f "$STAMPS/4_rehearsal_v2" ]; then
+    n_flac=$(ls outputs/corpus_flac/*.flac 2>/dev/null | wc -l)
+    if [ "$n_flac" -lt 1000 ]; then
+        log "stage 4: waiting for the corpus synth to finish ($n_flac/1000)"
+        while [ "$(ls outputs/corpus_flac/*.flac 2>/dev/null | wc -l)" -lt 1000 ]; do
+            # make_corpus runs detached (pid /tmp/make_corpus.pid); if it
+            # died short of 1000, finish the tail synchronously
+            if ! kill -0 "$(cat /tmp/make_corpus.pid 2>/dev/null)" 2>/dev/null; then
+                log "stage 4: make_corpus not running — topping up"
+                timeout 3600 python -m meanflow_audio_codec_tpu.tools.make_corpus \
+                    --out-dir outputs/corpus_flac --family mixed \
+                    --num-clips 1000 --seconds 4.46 --format flac --seed 7 \
+                    >> outputs/corpus_flac_make.log 2>&1 || true
+                break
+            fi
+            sleep 60
+        done
+    fi
+    n_flac=$(ls outputs/corpus_flac/*.flac 2>/dev/null | wc -l)
+    if [ "$n_flac" -lt 1000 ]; then
+        log "stage 4: corpus incomplete ($n_flac/1000) — skipping rehearsal"
+    else
+        log "stage 4: corpus rehearsal v2 (5k steps, non-blocking refresh)"
+        if timeout 7200 python train.py --config configs/corpus_rehearsal_v2.json \
+            > outputs/corpus_rehearsal_v2_run.log 2>&1; then
+            log "stage 4: rehearsal v2 finished"
+        else
+            log "stage 4: rehearsal v2 FAILED (rc=$?) — recorded"
+        fi
+        commit_globs "corpus rehearsal v2: disk-FLAC feed through the non-blocking pool refresh" \
+            "outputs/corpus_rehearsal_v2/summary.json" \
+            "outputs/corpus_rehearsal_v2/logs/train_log.jsonl" \
+            "outputs/corpus_rehearsal_v2/config.json" \
+            "outputs/corpus_rehearsal_v2_run.log"
+        touch "$STAMPS/4_rehearsal_v2"
+    fi
+fi
+
+# ---- stage 5: bench preview on the freed chip ----------------------------
+if [ ! -f "$STAMPS/5_bench" ]; then
+    log "stage 5: bench.py preview"
+    if timeout 3600 python -u bench.py > outputs/bench_r5_preview.json 2>outputs/bench_r5_preview.log; then
+        commit_globs "bench r5 preview (freed chip, frontier artifact live)" \
+            outputs/bench_r5_preview.json
+    else
+        log "stage 5: bench preview failed — see outputs/bench_r5_preview.log"
+    fi
+    touch "$STAMPS/5_bench"
+fi
+
+log "chain complete"
