@@ -214,7 +214,7 @@ def bench_frontier() -> dict:
         return {"frontier_rtf": round(rtf, 1),
                 "frontier_si_snr_db": round(float(nfe1["si_snr_db"]), 2),
                 "frontier_nsim": round(float(nfe1.get("nsim", 0.0)), 3),
-                "frontier_checkpoint": "imf_frontier_ch256"}
+                "frontier_checkpoint": "imf_frontier_v2"}
     except Exception as exc:  # never break the headline metric
         return {"frontier_error": f"{type(exc).__name__}: {exc}"}
 
