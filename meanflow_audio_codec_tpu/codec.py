@@ -83,6 +83,15 @@ class AudioCodec:
         config = load_config_from_json(workdir / "config.json")
         checkpoint = find_latest_checkpoint(workdir / "checkpoints")
         if checkpoint is None:
+            # disaster-recovery path: full checkpoints are untracked and
+            # die with the host; the git-committed serving artifact
+            # (EMA params only) is enough for every inference surface
+            from meanflow_audio_codec_tpu.training.checkpoints import (
+                find_latest_serving_checkpoint,
+            )
+            checkpoint = find_latest_serving_checkpoint(
+                workdir / "checkpoints")
+        if checkpoint is None:
             raise FileNotFoundError(
                 f"no checkpoint under {workdir / 'checkpoints'}")
         return cls.from_checkpoint(checkpoint, config, quantized=quantized)

@@ -146,6 +146,53 @@ def load_params_only(path: Path | str, params_template):
     return serialization.from_bytes(params_template, Path(path).read_bytes())
 
 
+# ---------------------------------------------------------------------------
+# Serving checkpoints: durable, git-committable inference artifacts
+# ---------------------------------------------------------------------------
+
+SERVING_RE = re.compile(r"serving_step_(\d+)\.msgpack$")
+
+
+def save_serving_checkpoint(state, checkpoint_dir: Path | str,
+                            step: int | None = None) -> Path:
+    """Write ``serving_step_{N}.msgpack``: the sampling-quality param set
+    (EMA when tracked, else live params) and the step — no optimizer state,
+    so the file is ~1/4 the size of a full TrainState checkpoint and small
+    enough to commit to git. This is the disaster-recovery artifact: full
+    checkpoints are untracked and die with the host; the serving file lets
+    ``AudioCodec.from_workdir`` come back from a bare git clone."""
+    checkpoint_dir = Path(checkpoint_dir)
+    checkpoint_dir.mkdir(parents=True, exist_ok=True)
+    step = int(step if step is not None else jax.device_get(state.step))
+    ema = getattr(state, "ema_params", None)
+    payload = {"step": step,
+               "params": jax.device_get(ema if ema is not None
+                                        else state.params)}
+    path = checkpoint_dir / f"serving_step_{step:05d}.msgpack"
+    path.write_bytes(serialization.to_bytes(payload))
+    return path
+
+
+def load_serving_checkpoint(path: Path | str, params_template):
+    """Restore ``(step, params)`` from a serving checkpoint."""
+    payload = serialization.from_bytes(
+        {"step": 0, "params": params_template}, Path(path).read_bytes())
+    return int(payload["step"]), payload["params"]
+
+
+def is_serving_checkpoint(path: Path | str) -> bool:
+    return SERVING_RE.search(Path(path).name) is not None
+
+
+def find_latest_serving_checkpoint(checkpoint_dir: Path | str) -> Path | None:
+    checkpoint_dir = Path(checkpoint_dir)
+    if not checkpoint_dir.exists():
+        return None
+    found = sorted(checkpoint_dir.glob("serving_step_*.msgpack"),
+                   key=lambda p: int(SERVING_RE.search(p.name).group(1)))
+    return found[-1] if found else None
+
+
 # ============================================================================
 # Metadata sidecars (reference utils.py:111-192)
 # ============================================================================

@@ -606,6 +606,10 @@ def train_flow(config: TrainFlowConfig, resume: bool = False) -> dict:
                                   fmt=config.training.checkpoint_format)
     cleanup_old_checkpoints(checkpoints_dir, config.max_checkpoints_to_keep,
                             final_step=config.n_steps)
+    from meanflow_audio_codec_tpu.training.checkpoints import (
+        save_serving_checkpoint,
+    )
+    save_serving_checkpoint(state, checkpoints_dir, step=config.n_steps)
     perf = profiler.end_training(config.n_steps - start_step)
     summary = generate_training_summary(
         log.path, total_time=perf["total_time_sec"],
@@ -659,6 +663,21 @@ def load_flow_state(checkpoint_path: Path | str, config: TrainFlowConfig):
         return TrainState.create(apply_fn=model.apply,
                                  params=variables["params"], tx=tx,
                                  ema_params=ema)
+
+    from meanflow_audio_codec_tpu.training.checkpoints import (
+        is_serving_checkpoint,
+        load_serving_checkpoint,
+    )
+    if not is_orbax and is_serving_checkpoint(checkpoint_path):
+        # git-committable disaster-recovery artifact: the sampling-quality
+        # param set only. Serve it through both slots (codec.params prefers
+        # EMA); optimizer state stays freshly initialised — serving files
+        # are for inference/eval, resume needs a full checkpoint.
+        step, params = load_serving_checkpoint(checkpoint_path,
+                                               variables["params"])
+        state = template(with_ema=True)
+        return state.replace(step=step, params=params,
+                             ema_params=params), model
 
     # runs trained with --ema-decay store an EMA copy (evaluators sample
     # from it); pick the matching template by INSPECTING the checkpoint —

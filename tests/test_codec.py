@@ -182,3 +182,36 @@ def test_codec_rejects_non_frame_layout(tmp_path):
     cfg = create_mnist_config(**{"training": {"workdir": str(tmp_path)}})
     with pytest.raises(ValueError, match="per-frame"):
         AudioCodec(state=None, model=None, config=cfg)
+
+
+def test_from_workdir_serving_fallback(trained_workdir, tmp_path):
+    """A workdir restored from git (serving artifact only, full
+    checkpoints lost with the host) still serves the codec, with the
+    EMA/sampling param set."""
+    import shutil
+
+    from meanflow_audio_codec_tpu.training.checkpoints import (
+        find_latest_checkpoint,
+        save_serving_checkpoint,
+    )
+    from meanflow_audio_codec_tpu.training.trainer import load_flow_state
+
+    restored = tmp_path / "restored_run"
+    shutil.copytree(trained_workdir, restored)
+    ckpt_dir = restored / "checkpoints"
+    full = find_latest_checkpoint(ckpt_dir)
+    state, _ = load_flow_state(
+        full, __import__(
+            "meanflow_audio_codec_tpu.configs.config",
+            fromlist=["load_config_from_json"],
+        ).load_config_from_json(restored / "config.json"))
+    save_serving_checkpoint(state, ckpt_dir)
+    full.unlink()  # simulate the untracked full checkpoint dying
+
+    codec = AudioCodec.from_workdir(restored)
+    reference = AudioCodec.from_workdir(trained_workdir)
+    rng = np.random.default_rng(3)
+    audio = rng.uniform(-0.5, 0.5, (2, FRAME_SIZE, 2)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(codec.roundtrip(audio)),
+        np.asarray(reference.roundtrip(audio)), rtol=1e-5, atol=1e-6)

@@ -323,6 +323,58 @@ def test_load_flow_state_without_ema_falls_back():
     assert int(restored.step) == 0
 
 
+def test_serving_checkpoint_roundtrip(tmp_path):
+    """The git-committable serving artifact (EMA params only) loads
+    through load_flow_state with the EMA set served in both param slots —
+    the disaster-recovery path for host restores that drop untracked
+    full checkpoints."""
+    import optax
+    from meanflow_audio_codec_tpu.configs import create_mnist_config
+    from meanflow_audio_codec_tpu.models import TrainState
+    from meanflow_audio_codec_tpu.models.factories import create_flow_model
+    from meanflow_audio_codec_tpu.training.checkpoints import (
+        find_latest_serving_checkpoint,
+        save_checkpoint,
+        save_serving_checkpoint,
+    )
+    from meanflow_audio_codec_tpu.training.trainer import load_flow_state
+
+    cfg = create_mnist_config(**{
+        "model": {"noise_dimension": 16, "condition_dimension": 8,
+                  "latent_dimension": 8, "num_blocks": 1},
+        "training": {"sample_every": 1, "sample_seed": 0, "sample_steps": 1,
+                     "workdir": str(tmp_path), "ema_decay": 0.99},
+    })
+    model = create_flow_model(cfg)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((2, 16)),
+                           jnp.zeros((2, 2)), method="init_all")
+    ema = jax.tree_util.tree_map(lambda p: p + 1.0, variables["params"])
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        tx=optax.adamw(cfg.base_lr, weight_decay=cfg.weight_decay),
+        ema_params=ema).replace(step=41)
+
+    serving = save_serving_checkpoint(state, tmp_path, step=41)
+    assert serving.name == "serving_step_00041.msgpack"
+    full = save_checkpoint(state, tmp_path / "step_00041.msgpack")
+    # the serving file is ~1/4 the full TrainState (no optimizer moments,
+    # one param set instead of two)
+    assert serving.stat().st_size < 0.5 * full.stat().st_size
+    assert find_latest_serving_checkpoint(tmp_path) == serving
+
+    restored, _ = load_flow_state(serving, cfg)
+    assert int(restored.step) == 41
+    for got, want in zip(jax.tree_util.tree_leaves(restored.ema_params),
+                         jax.tree_util.tree_leaves(ema)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6)
+    # serving files expose the EMA set through BOTH slots (codec.params
+    # prefers EMA; plain params consumers get the same weights)
+    p0 = jax.tree_util.tree_leaves(restored.params)[0]
+    e0 = jax.tree_util.tree_leaves(restored.ema_params)[0]
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(e0))
+
+
 def test_grad_clip_and_warmup_optimizer():
     """grad_clip_norm bounds the update scale; warmup ramps the LR; the
     checkpoint template (load_flow_state) matches the trained state tree."""

@@ -70,6 +70,22 @@ if [ ! -f "$STAMPS/1_frontier_done" ]; then
     touch "$STAMPS/1_frontier_done"
 fi
 
+# ---- stage 1b: durable serving checkpoint --------------------------------
+# The 2026-08-20 host restore dropped every untracked checkpoint and forced
+# a full retrain; the serving artifact (EMA params only, ~135 MB) goes INTO
+# git so the trained codec survives the next restore.
+if [ ! -f "$STAMPS/1b_serving" ]; then
+    if ls "$FRONTIER"/checkpoints/serving_step_*.msgpack >/dev/null 2>&1 ||
+       timeout 1200 python -m meanflow_audio_codec_tpu.tools.export_serving \
+           --workdir "$FRONTIER"; then
+        commit_globs "frontier v2: git-durable serving checkpoint (EMA params)" \
+            "$FRONTIER/checkpoints/serving_step_*.msgpack"
+        touch "$STAMPS/1b_serving"
+    else
+        log "stage 1b: serving export FAILED (rc=$?) — will retry on relaunch"
+    fi
+fi
+
 # ---- stage 2: frontier_v2 evidence --------------------------------------
 if [ ! -f "$STAMPS/2_frontier_eval" ]; then
     log "stage 2: eval_suite on frontier_v2 @65k"
