@@ -174,6 +174,19 @@ CONFIGS = {
     "ch1024_s8_lift128_bn1024_b2048_dots": dict(
         channels=1024, bottleneck_dim=1024, spatial=8, lift_channels=128,
         batch=2048, scan_k=1, remat=True, remat_policy="dots_saveable"),
+    # remat-off at the bench geometry (round-5 item: the trainer pays
+    # dots_saveable recompute the MFU numerator does not credit; these
+    # rows measure that tax directly at the largest no-remat batch that
+    # fits HBM — b2048 raw activations at ch1024-s8 exceed 16 GB)
+    "ch1024_s8_lift64_b1024_noremat": dict(
+        channels=1024, bottleneck_dim=512, spatial=8, lift_channels=64,
+        batch=1024, scan_k=2),
+    "ch1024_s8_lift64_b512_noremat": dict(
+        channels=1024, bottleneck_dim=512, spatial=8, lift_channels=64,
+        batch=512, scan_k=4),
+    "ch1024_s8_lift64_b2048_noremat": dict(
+        channels=1024, bottleneck_dim=512, spatial=8, lift_channels=64,
+        batch=2048, scan_k=2),
     # fused Pallas stage kernels (ops/stage_pallas.py) on the champions:
     # one HBM pass for each norm/FiLM/GELU/GRN segment instead of XLA's
     # reduce->broadcast chains

@@ -167,6 +167,23 @@ for probe in C64_ch256_b64_remat D2_ch256_b16_noremat D3_ch256_b32_noremat \
     fi
 done
 
+# ---- stage 3b: bare-step remat-off sweep at the bench geometry ----------
+# VERDICT item 6: measure the dots_saveable recompute tax directly; if
+# remat-off at a feasible batch clears ~0.72 MFU, bench.py adopts it.
+if [ ! -f "$STAMPS/3b_noremat_sweep" ]; then
+    log "stage 3b: ch1024 remat-off bare-step sweep"
+    timeout 3600 python -u -m \
+        meanflow_audio_codec_tpu.tools.benchmarks.benchmark_conv_mfu \
+        --configs ch1024_s8_lift64_b512_noremat \
+                  ch1024_s8_lift64_b1024_noremat \
+                  ch1024_s8_lift64_b2048_noremat \
+                  ch1024_s8_lift64_b2048_dots \
+        > outputs/probes_r5/noremat_sweep.jsonl 2> outputs/probes_r5/noremat_sweep.log
+    commit_globs "r5 remat-off MFU sweep at the ch1024 bench geometry" \
+        outputs/probes_r5/noremat_sweep.jsonl outputs/probes_r5/noremat_sweep.log
+    touch "$STAMPS/3b_noremat_sweep"
+fi
+
 # ---- stage 4: corpus rehearsal v2 (non-blocking refresh) -----------------
 if [ ! -f "$STAMPS/4_rehearsal_v2" ]; then
     n_flac=$(ls outputs/corpus_flac/*.flac 2>/dev/null | wc -l)
